@@ -1,0 +1,93 @@
+"""Benchmark harness — edges/s/chip on the flagship HGT train step.
+
+Runs the full jit-compiled training step (forward + backward + AdamW) on an
+ogbn-mag-reproduction-scale batch (4-layer HGT, n_hid 512, 8 heads, RTE —
+``/root/reference/ogbn-mag/README.md:16-24``) and reports edges processed
+per second per chip (valid edges × n_layers / step time).
+
+The reference publishes no throughput numbers (SURVEY.md §6); the
+``vs_baseline`` field is relative to this repo's round-1 measurement
+(BASELINE_EDGES_PER_S below) so later rounds show the speedup trend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Round-1 pinned measurement on one TPU chip (updated when first measured).
+BASELINE_EDGES_PER_S = None  # set after the first real-hardware run
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="bench")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
+    from pyhgt_tpu.train.optim import cosine_schedule, make_optimizer
+    from pyhgt_tpu.train.step import TrainState, make_train_step
+
+    fl = build_flagship(args.preset)
+    batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
+    params = fl.init_params(jax.random.key(0), batch)
+    tx = make_optimizer(
+        cosine_schedule(1e-3, 1000), weight_decay=0.01, clip_norm=0.25,
+        params=params,
+    )
+    state = TrainState.create(params, tx)
+    step = make_train_step(fl.loss_fn(), tx)
+
+    # stacked leading axis of size 1 (the dp axis; bench is single-chip)
+    stack = jax.tree.map(lambda x: np.asarray(x)[None], batch)
+    y = np.asarray(labels)[None]
+    bargs = (
+        stack.node_feat, stack.edge_src, stack.edge_tgt, stack.edge_dt,
+        stack.edge_mask, stack.node_mask,
+    )
+    bargs = tuple(jax.device_put(a) for a in bargs)
+    y = jax.device_put(y)
+    rng = jax.random.key(1)
+
+    n_edges = int(np.sum(np.asarray(batch.edge_mask)))
+    n_layers = fl.cfg.n_layers
+
+    for _ in range(args.warmup):
+        state, loss = step(state, rng, *bargs, y)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, loss = step(state, rng, *bargs, y)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.steps
+
+    assert np.isfinite(float(loss)), f"non-finite loss {loss}"
+    edges_per_s = n_edges * n_layers / dt
+    vs = edges_per_s / BASELINE_EDGES_PER_S if BASELINE_EDGES_PER_S else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "hgt_train_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": f"edges/s/chip ({n_layers}-layer fwd+bwd+adamw, "
+                        f"{n_edges} edges/batch, step {dt*1e3:.1f} ms)",
+                "vs_baseline": round(vs, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

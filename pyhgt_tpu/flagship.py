@@ -1,0 +1,196 @@
+"""Flagship model assembly — an ogbn-mag-shaped HGT node classifier.
+
+One place that wires schema → layout → model → loss → train step, used by
+``__graft_entry__.py`` (driver compile checks), ``bench.py`` (edges/s), and
+the SPMD dry run. The graph shape mirrors ogbn-mag
+(``/root/reference/ogbn-mag/preprocess_ogbn_mag.py:29-42``): paper/author/
+field/institution with writes/cites/has-topic/affiliated-with + reverses;
+the model recipe mirrors the published reproduction config
+(``ogbn-mag/README.md:16-24``: 4 layers, n_hid 512, 8 heads, RTE on).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
+from pyhgt_tpu.models import GNN, Classifier
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.sampling.batch import BatchLayout, SubgraphBatch
+from pyhgt_tpu.train.step import nll_loss
+from pyhgt_tpu.utils.synth import synth_batch
+
+import flax.linen as nn
+
+
+def flagship_schema() -> GraphSchema:
+    m = MetaRelation
+    return GraphSchema(
+        node_types=("paper", "author", "field", "institution"),
+        metas=(
+            m("paper", "author", "AP_write"),
+            m("author", "paper", "rev_AP_write"),
+            m("paper", "paper", "PP_cite"),
+            m("paper", "paper", "rev_PP_cite"),
+            m("field", "paper", "PF_in"),
+            m("paper", "field", "rev_PF_in"),
+            m("institution", "author", "in"),
+            m("author", "institution", "rev_in"),
+        ),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FlagshipConfig:
+    node_cap: int
+    edge_cap: int
+    in_dim: int
+    n_hid: int
+    n_heads: int
+    n_layers: int
+    n_classes: int
+    n_seed: int
+    dropout: float = 0.2
+
+
+PRESETS: Dict[str, FlagshipConfig] = {
+    # quick single-chip compile check
+    "tiny": FlagshipConfig(
+        node_cap=128, edge_cap=256, in_dim=128, n_hid=128,
+        n_heads=4, n_layers=2, n_classes=16, n_seed=32,
+    ),
+    # multi-chip dry run on virtual CPU devices
+    "dryrun": FlagshipConfig(
+        node_cap=32, edge_cap=64, in_dim=32, n_hid=32,
+        n_heads=4, n_layers=2, n_classes=8, n_seed=8,
+    ),
+    # the ogbn-mag reproduction scale (README.md:16-24: depth 6 width 520
+    # -> ~3248 nodes/type; 4x512x8 model)
+    "bench": FlagshipConfig(
+        node_cap=3328, edge_cap=26624, in_dim=512, n_hid=512,
+        n_heads=8, n_layers=4, n_classes=349, n_seed=128,
+    ),
+}
+
+
+class FlagshipModel(nn.Module):
+    """GNN + Classifier over the paper-seed slice (the composition every
+    reference training script builds by hand, e.g.
+    ``ogbn-mag/train_ogbn_mag.py:109-116``)."""
+
+    cfg: FlagshipConfig
+    num_types: int
+    num_relations: int
+
+    def setup(self):
+        c = self.cfg
+        self.gnn = GNN(
+            in_dim=c.in_dim,
+            n_hid=c.n_hid,
+            num_types=self.num_types,
+            num_relations=self.num_relations,
+            n_heads=c.n_heads,
+            n_layers=c.n_layers,
+            dropout=c.dropout,
+            conv_name="hgt",
+            prev_norm=True,
+            last_norm=True,
+            use_rte=True,
+        )
+        self.clf = Classifier(n_out=c.n_classes)
+
+    def __call__(
+        self, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
+        em: EdgeStaticMeta, deterministic: bool = True,
+    ):
+        h = self.gnn(
+            node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
+            deterministic=deterministic,
+        )
+        seeds = h[0, : self.cfg.n_seed]  # paper seeds come first by contract
+        return self.clf(seeds)
+
+
+@dataclasses.dataclass
+class Flagship:
+    cfg: FlagshipConfig
+    schema: GraphSchema
+    layout: BatchLayout
+    em: EdgeStaticMeta
+    model: FlagshipModel
+
+    def init_params(self, rng_key, batch: SubgraphBatch):
+        return self.model.init(rng_key, *self.batch_args(batch), self.em)
+
+    def batch_args(self, batch: SubgraphBatch):
+        return (
+            batch.node_feat,
+            batch.edge_src,
+            batch.edge_tgt,
+            batch.edge_dt,
+            batch.edge_mask,
+            batch.node_mask,
+        )
+
+    def forward_fn(self):
+        """Pure jittable forward: (params, *batch_args) -> log_probs."""
+        em = self.em
+
+        def fwd(params, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask):
+            return self.model.apply(
+                params, node_feat, edge_src, edge_tgt, edge_dt, edge_mask,
+                node_mask, em,
+            )
+
+        return fwd
+
+    def loss_fn(self):
+        """(params, rng, stacked_batch_args..., labels) -> scalar.
+
+        Stacked leading axis = data-parallel subgraphs; dropout rngs are
+        split per subgraph.
+        """
+        em = self.em
+        model = self.model
+
+        def per_graph(params, rng, nf, es, et, dt, emk, nmk, labels):
+            logp = model.apply(
+                params, nf, es, et, dt, emk, nmk, em,
+                deterministic=False, rngs={"dropout": rng},
+            )
+            return nll_loss(logp, labels)
+
+        def loss(params, rng, nf, es, et, dt, emk, nmk, labels):
+            rngs = jax.random.split(rng, nf.shape[0])
+            losses = jax.vmap(per_graph, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
+                params, rngs, nf, es, et, dt, emk, nmk, labels
+            )
+            return jnp.mean(losses)
+
+        return loss
+
+
+def build_flagship(preset: str = "tiny") -> Flagship:
+    cfg = PRESETS[preset]
+    schema = flagship_schema()
+    pad = PadSpec(node_cap=cfg.node_cap, default_edge_cap=cfg.edge_cap)
+    layout = BatchLayout(schema=schema, pad=pad)
+    em = EdgeStaticMeta.from_layout(layout)
+    model = FlagshipModel(
+        cfg=cfg, num_types=schema.num_types, num_relations=schema.num_relations
+    )
+    return Flagship(cfg=cfg, schema=schema, layout=layout, em=em, model=model)
+
+
+def synth_flagship_batch(fl: Flagship, seed: int = 0, edge_fill: float = 1.0):
+    rng = np.random.default_rng(seed)
+    batch = synth_batch(
+        fl.layout, rng, din=fl.cfg.in_dim, node_fill=1.0, edge_fill=edge_fill
+    )
+    labels = rng.integers(0, fl.cfg.n_classes, size=fl.cfg.n_seed).astype(np.int32)
+    return batch, labels

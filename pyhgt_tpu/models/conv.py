@@ -1,0 +1,325 @@
+"""Graph convolution modules.
+
+Capability parity with ``/root/reference/pyHGT/conv.py``:
+
+- :class:`HGTConv`       — conv.py:11-139 (per-meta-relation attention,
+  RTE, gated residual, per-type norm)
+- :class:`DenseHGTConv`  — conv.py:143-280 (same attention; plain residual
+  + shared position-wise FFN)
+- :class:`GCNConv` / :class:`GATConv` — homogeneous baselines the
+  reference pulls from PyG (conv.py:5, 311-314)
+- :class:`GeneralConv`   — conv.py:303-324 uniform dispatcher
+
+Architecture difference by design: parameters are stacked banks
+(``[T, ...]`` per node type, ``[R, ...]`` per relation) applied with batched
+matmuls; the per-edge stage is delegated to
+:func:`pyhgt_tpu.ops.hgt.hgt_conv_core`. No per-type Python loops exist in
+any forward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta, hgt_conv_core, typed_linear
+from pyhgt_tpu.ops.rte import RTE_MAX_LEN, rte_sin_table
+from pyhgt_tpu.ops.segment import segment_softmax, segment_sum
+
+
+def glorot(key, shape, dtype=jnp.float32):
+    """PyG-style glorot: uniform(-a, a), a = sqrt(6 / (fan_in + fan_out))
+    over the last two dims — init used for the relation bases
+    (``pyHGT/conv.py:53-54``)."""
+    a = (6.0 / (shape[-2] + shape[-1])) ** 0.5
+    return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+
+def _typed_layer_norm(x, scale, bias, eps=1e-5):
+    """Per-type LayerNorm: x [T, C, D], scale/bias [T, D]."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * scale[:, None, :] + bias[:, None, :]
+
+
+class HGTConv(nn.Module):
+    """Heterogeneous Graph Transformer layer (``pyHGT/conv.py:11-139``).
+
+    Call signature: ``(x [T,C,Din], edge_src, edge_tgt, edge_dt, edge_mask,
+    node_mask [T,C], em: EdgeStaticMeta)``. ``em`` carries the static
+    per-block metadata; pass the same object every call so jit retraces
+    never happen.
+    """
+
+    in_dim: int
+    out_dim: int
+    num_types: int
+    num_relations: int
+    n_heads: int
+    dropout: float = 0.2
+    use_norm: bool = True
+    use_rte: bool = True
+
+    def setup(self):
+        T, R, H = self.num_types, self.num_relations, self.n_heads
+        Din, Dout = self.in_dim, self.out_dim
+        dk = Dout // H
+        if dk * H != Dout:
+            raise ValueError(f"out_dim {Dout} not divisible by n_heads {H}")
+        init = nn.initializers.lecun_normal()
+        self.wq = self.param("wq", init, (T, Din, Dout))
+        self.bq = self.param("bq", nn.initializers.zeros, (T, Dout))
+        self.wk = self.param("wk", init, (T, Din, Dout))
+        self.bk = self.param("bk", nn.initializers.zeros, (T, Dout))
+        self.wv = self.param("wv", init, (T, Din, Dout))
+        self.bv = self.param("bv", nn.initializers.zeros, (T, Dout))
+        self.wa = self.param("wa", init, (T, Dout, Dout))
+        self.ba = self.param("ba", nn.initializers.zeros, (T, Dout))
+        # relation banks (conv.py:41-54). rel_pri init 1 (conv.py:44).
+        self.rel_pri = self.param("rel_pri", nn.initializers.ones, (R, H))
+        self.rel_att = self.param("rel_att", glorot, (R, H, dk, dk))
+        self.rel_msg = self.param("rel_msg", glorot, (R, H, dk, dk))
+        # learnable per-type skip gate, init 1 (conv.py:47)
+        self.skip = self.param("skip", nn.initializers.ones, (T,))
+        self.drop = nn.Dropout(self.dropout)
+        if self.use_norm:
+            self.ln_scale = self.param("ln_scale", nn.initializers.ones, (T, Dout))
+            self.ln_bias = self.param("ln_bias", nn.initializers.zeros, (T, Dout))
+        if self.use_rte:
+            # frozen sinusoidal table (conv.py:289-295) + trainable linear
+            self.rte_w = self.param(
+                "rte_w", nn.initializers.lecun_normal(), (Din, Din)
+            )
+            self.rte_b = self.param("rte_b", nn.initializers.zeros, (Din,))
+
+    def rte_vectors(self):
+        """[L, Din] — sin table through the trainable RTE linear."""
+        tab = jnp.asarray(rte_sin_table(self.in_dim))
+        return tab @ self.rte_w + self.rte_b
+
+    def __call__(
+        self,
+        x,
+        edge_src,
+        edge_tgt,
+        edge_dt,
+        edge_mask,
+        node_mask,
+        em: EdgeStaticMeta,
+        deterministic: bool = True,
+    ):
+        rte_vec = self.rte_vectors() if self.use_rte else None
+        aggr, _att = hgt_conv_core(
+            x,
+            edge_src,
+            edge_tgt,
+            edge_dt,
+            edge_mask,
+            em,
+            wq=self.wq, bq=self.bq,
+            wk=self.wk, bk=self.bk,
+            wv=self.wv, bv=self.bv,
+            rel_pri=self.rel_pri,
+            rel_att=self.rel_att,
+            rel_msg=self.rel_msg,
+            n_heads=self.n_heads,
+            rte_vec=rte_vec,
+        )
+        # -- update half (conv.py:114-134): gated residual per type --
+        trans = typed_linear(jax.nn.gelu(aggr), self.wa, self.ba)
+        trans = self.drop(trans, deterministic=deterministic)
+        alpha = jax.nn.sigmoid(self.skip)[:, None, None]
+        out = trans * alpha + x * (1.0 - alpha)
+        if self.use_norm:
+            out = _typed_layer_norm(out, self.ln_scale, self.ln_bias)
+        return out * node_mask[..., None]
+
+
+class DenseHGTConv(nn.Module):
+    """HGT attention + plain residual + shared position-wise FFN
+    (``pyHGT/conv.py:143-280``; message half byte-identical to HGTConv in
+    the reference, update half differs)."""
+
+    in_dim: int
+    out_dim: int
+    num_types: int
+    num_relations: int
+    n_heads: int
+    dropout: float = 0.2
+    use_norm: bool = True  # gates the per-type norm; the final FFN norm is always on
+    use_rte: bool = True
+
+    def setup(self):
+        T, R, H = self.num_types, self.num_relations, self.n_heads
+        Din, Dout = self.in_dim, self.out_dim
+        dk = Dout // H
+        init = nn.initializers.lecun_normal()
+        self.wq = self.param("wq", init, (T, Din, Dout))
+        self.bq = self.param("bq", nn.initializers.zeros, (T, Dout))
+        self.wk = self.param("wk", init, (T, Din, Dout))
+        self.bk = self.param("bk", nn.initializers.zeros, (T, Dout))
+        self.wv = self.param("wv", init, (T, Din, Dout))
+        self.bv = self.param("bv", nn.initializers.zeros, (T, Dout))
+        self.wa = self.param("wa", init, (T, Dout, Dout))
+        self.ba = self.param("ba", nn.initializers.zeros, (T, Dout))
+        self.rel_pri = self.param("rel_pri", nn.initializers.ones, (R, H))
+        self.rel_att = self.param("rel_att", glorot, (R, H, dk, dk))
+        self.rel_msg = self.param("rel_msg", glorot, (R, H, dk, dk))
+        self.ln_scale = self.param("ln_scale", nn.initializers.ones, (T, Dout))
+        self.ln_bias = self.param("ln_bias", nn.initializers.zeros, (T, Dout))
+        self.drop = nn.Dropout(self.dropout)
+        # shared position-wise FFN (conv.py:189-191) + final shared norm
+        self.mid = nn.Dense(Dout * 2)
+        self.out = nn.Dense(Dout)
+        self.ffn_ln = nn.LayerNorm()
+        if self.use_rte:
+            self.rte_w = self.param(
+                "rte_w", nn.initializers.lecun_normal(), (Din, Din)
+            )
+            self.rte_b = self.param("rte_b", nn.initializers.zeros, (Din,))
+
+    def __call__(
+        self,
+        x,
+        edge_src,
+        edge_tgt,
+        edge_dt,
+        edge_mask,
+        node_mask,
+        em: EdgeStaticMeta,
+        deterministic: bool = True,
+    ):
+        rte_vec = (
+            (jnp.asarray(rte_sin_table(self.in_dim)) @ self.rte_w + self.rte_b)
+            if self.use_rte
+            else None
+        )
+        aggr, _ = hgt_conv_core(
+            x, edge_src, edge_tgt, edge_dt, edge_mask, em,
+            wq=self.wq, bq=self.bq, wk=self.wk, bk=self.bk,
+            wv=self.wv, bv=self.bv,
+            rel_pri=self.rel_pri, rel_att=self.rel_att, rel_msg=self.rel_msg,
+            n_heads=self.n_heads, rte_vec=rte_vec,
+        )
+        trans = typed_linear(aggr, self.wa, self.ba)
+        trans = self.drop(trans, deterministic=deterministic)
+        res = trans + x
+        if self.use_norm:  # per-type norm gated (conv.py:265-266)
+            res = _typed_layer_norm(res, self.ln_scale, self.ln_bias)
+        ffn = self.out(jax.nn.gelu(self.mid(res)))
+        ffn = self.drop(ffn, deterministic=deterministic)
+        out = self.ffn_ln(ffn + res)
+        return out * node_mask[..., None]
+
+
+class GCNConv(nn.Module):
+    """Homogeneous GCN baseline (reference routes to PyG ``GCNConv``,
+    ``conv.py:311-312``): symmetric-degree-normalized mean over all edges,
+    types and times ignored. Self-loops are already present as the layout's
+    'self' blocks."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(
+        self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
+        deterministic: bool = True,
+    ):
+        T, C, _ = x.shape
+        N = T * C
+        h = nn.Dense(self.out_dim, use_bias=True)(x).reshape(N, self.out_dim)
+        ones = jnp.where(edge_mask, 1.0, 0.0)
+        deg = segment_sum(ones, edge_tgt, N)
+        inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        coef = inv_sqrt[edge_tgt] * inv_sqrt[edge_src] * ones
+        out = segment_sum(h[edge_src] * coef[:, None], edge_tgt, N)
+        return out.reshape(T, C, self.out_dim) * node_mask[..., None]
+
+
+class GATConv(nn.Module):
+    """Homogeneous multi-head GAT baseline (reference routes to PyG
+    ``GATConv``, ``conv.py:313-314``): additive attention with LeakyReLU,
+    softmax over incoming edges."""
+
+    in_dim: int
+    out_dim: int
+    n_heads: int = 1
+    negative_slope: float = 0.2
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
+        deterministic: bool = True,
+    ):
+        T, C, _ = x.shape
+        H = self.n_heads
+        dk = self.out_dim // H
+        N = T * C
+        h = nn.Dense(self.out_dim, use_bias=False)(x).reshape(N, H, dk)
+        a_src = self.param("a_src", nn.initializers.lecun_normal(), (H, dk))
+        a_tgt = self.param("a_tgt", nn.initializers.lecun_normal(), (H, dk))
+        e = (
+            jnp.einsum("ehk,hk->eh", h[edge_src], a_src)
+            + jnp.einsum("ehk,hk->eh", h[edge_tgt], a_tgt)
+        )
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        w = segment_softmax(e, edge_tgt, N, mask=edge_mask)
+        out = segment_sum(
+            (w[..., None] * h[edge_src]).reshape(-1, self.out_dim),
+            edge_tgt,
+            N,
+            mask=edge_mask,
+        )
+        return out.reshape(T, C, self.out_dim) * node_mask[..., None]
+
+
+class GeneralConv(nn.Module):
+    """Uniform layer dispatcher (``pyHGT/conv.py:303-324``): one call
+    signature for heterogeneous (hgt/dense_hgt) and homogeneous (gcn/gat)
+    convs. The reference CLI also advertises rgcn/han/hetgnn but never
+    implements them (``OAG/train_paper_field.py:28``); we raise explicitly.
+    """
+
+    conv_name: str
+    in_dim: int
+    out_dim: int
+    num_types: int
+    num_relations: int
+    n_heads: int
+    dropout: float = 0.2
+    use_norm: bool = True
+    use_rte: bool = True
+
+    def setup(self):
+        kw = dict(in_dim=self.in_dim, out_dim=self.out_dim)
+        hkw = dict(
+            **kw,
+            num_types=self.num_types,
+            num_relations=self.num_relations,
+            n_heads=self.n_heads,
+            dropout=self.dropout,
+            use_norm=self.use_norm,
+            use_rte=self.use_rte,
+        )
+        if self.conv_name == "hgt":
+            self.base_conv = HGTConv(**hkw)
+        elif self.conv_name == "dense_hgt":
+            self.base_conv = DenseHGTConv(**hkw)
+        elif self.conv_name == "gcn":
+            self.base_conv = GCNConv(**kw)
+        elif self.conv_name == "gat":
+            self.base_conv = GATConv(**kw, n_heads=self.n_heads, dropout=self.dropout)
+        else:
+            raise NotImplementedError(
+                f"conv_name {self.conv_name!r} not supported (the reference "
+                "advertises rgcn/han/hetgnn but does not implement them)"
+            )
+
+    def __call__(self, *args, **kwargs):
+        return self.base_conv(*args, **kwargs)

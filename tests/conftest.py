@@ -6,12 +6,22 @@ Multi-chip hardware is unavailable in CI; sharding tests emulate an
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force cpu via
+# config so tests run on the 8-device virtual mesh, not the tunneled chip.
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against float64 references; the environment default
+# lowers f32 matmuls to bf16 passes (fine for training throughput, fatal
+# for allclose tests).
+jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np
 import pytest

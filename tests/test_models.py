@@ -1,0 +1,136 @@
+"""Model-layer tests: shapes, masking invariants, conv dispatch, heads."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
+from pyhgt_tpu.models import GNN, Classifier, Matcher, GeneralConv
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.sampling.batch import BatchLayout
+
+
+@pytest.fixture(scope="module")
+def layout():
+    schema = GraphSchema(
+        node_types=("paper", "author", "venue"),
+        metas=(
+            MetaRelation("paper", "author", "AP_write"),
+            MetaRelation("author", "paper", "rev_AP_write"),
+            MetaRelation("venue", "paper", "PV_in"),
+            MetaRelation("paper", "venue", "rev_PV_in"),
+            MetaRelation("paper", "paper", "PP_cite"),
+        ),
+    )
+    return BatchLayout(schema=schema, pad=PadSpec(node_cap=16, default_edge_cap=32))
+
+
+def _rand_batch(layout, rng, din=12):
+    T, C = layout.num_types, layout.node_cap
+    n_valid = [10, 8, 4]
+    x = np.zeros((T, C, din), dtype=np.float32)
+    node_mask = np.zeros((T, C), dtype=bool)
+    for t, n in enumerate(n_valid):
+        x[t, :n] = rng.normal(size=(n, din))
+        node_mask[t, :n] = True
+    E = layout.num_edges
+    es = np.zeros(E, np.int32)
+    et = np.zeros(E, np.int32)
+    dt = np.full(E, 120, np.int32)
+    mask = np.zeros(E, bool)
+    for b in layout.blocks:
+        for j in range(min(8, b.cap, n_valid[b.tgt_type_id], n_valid[b.src_type_id])):
+            i = b.start + j
+            et[i] = b.tgt_type_id * C + rng.integers(0, n_valid[b.tgt_type_id])
+            es[i] = b.src_type_id * C + rng.integers(0, n_valid[b.src_type_id])
+            dt[i] = rng.integers(0, 240)
+            mask[i] = True
+    return x, es, et, dt, mask, node_mask
+
+
+@pytest.mark.parametrize("conv_name", ["hgt", "dense_hgt", "gcn", "gat"])
+def test_gnn_forward_shapes_and_mask(layout, rng, conv_name):
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    model = GNN(
+        in_dim=12, n_hid=16, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=2,
+        conv_name=conv_name, prev_norm=True, last_norm=True,
+    )
+    params = model.init(jax.random.key(0), x, es, et, dt, mask, node_mask, em)
+    out = model.apply(params, x, es, et, dt, mask, node_mask, em)
+    assert out.shape == (layout.num_types, layout.node_cap, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # padded nodes produce exactly zero
+    assert np.all(np.asarray(out)[~node_mask] == 0)
+
+
+def test_gnn_padding_invariance(layout, rng):
+    """Garbage in padded node slots must not change valid outputs."""
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    model = GNN(
+        in_dim=12, n_hid=16, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=2,
+    )
+    params = model.init(jax.random.key(0), x, es, et, dt, mask, node_mask, em)
+    out1 = model.apply(params, x, es, et, dt, mask, node_mask, em)
+    x2 = x.copy()
+    x2[~node_mask] = 999.0
+    out2 = model.apply(params, x2, es, et, dt, mask, node_mask, em)
+    np.testing.assert_allclose(
+        np.asarray(out1)[node_mask], np.asarray(out2)[node_mask], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_unimplemented_conv_raises(layout):
+    with pytest.raises(NotImplementedError):
+        GeneralConv(
+            conv_name="rgcn", in_dim=8, out_dim=8, num_types=1,
+            num_relations=1, n_heads=1,
+        ).init(jax.random.key(0))
+
+
+def test_classifier_log_softmax(rng):
+    x = rng.normal(size=(5, 8)).astype(np.float32)
+    m = Classifier(n_out=7)
+    p = m.init(jax.random.key(0), x)
+    out = np.asarray(m.apply(p, x))
+    np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_matcher_pair_vs_matrix(rng):
+    x = rng.normal(size=(6, 8)).astype(np.float32)
+    y = rng.normal(size=(6, 8)).astype(np.float32)
+    m = Matcher(n_hid=8)
+    p = m.init(jax.random.key(0), x, y)
+    pair = np.asarray(m.apply(p, x, y, pair=True))
+    full = np.asarray(m.apply(p, x, y, pair=False))
+    np.testing.assert_allclose(pair, np.diag(full), rtol=1e-5, atol=1e-6)
+    # explicit cache path == direct path
+    tx = m.apply(p, x, method=Matcher.left)
+    ty = m.apply(p, y, method=Matcher.right)
+    cached = np.asarray(m.apply(p, tx, ty, method=Matcher.score_cached))
+    np.testing.assert_allclose(cached, full, rtol=1e-5, atol=1e-6)
+
+
+def test_dropout_active_in_training_mode(layout, rng):
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    model = GNN(
+        in_dim=12, n_hid=16, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=1,
+        dropout=0.5,
+    )
+    params = model.init(jax.random.key(0), x, es, et, dt, mask, node_mask, em)
+    o1 = model.apply(
+        params, x, es, et, dt, mask, node_mask, em, False,
+        rngs={"dropout": jax.random.key(1)},
+    )
+    o2 = model.apply(
+        params, x, es, et, dt, mask, node_mask, em, False,
+        rngs={"dropout": jax.random.key(2)},
+    )
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))

@@ -1,0 +1,154 @@
+"""Train-layer tests: losses, schedules, loader, train step, checkpoint."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyhgt_tpu.train import (
+    PrefetchLoader,
+    TrainState,
+    cosine_schedule,
+    dcg_at_k,
+    make_optimizer,
+    make_train_step,
+    mean_reciprocal_rank,
+    ndcg_at_k,
+    onecycle_schedule,
+)
+from pyhgt_tpu.train.checkpoint import BestCheckpointPolicy, load_checkpoint, save_checkpoint
+from pyhgt_tpu.train.metrics import ranking_metrics
+from pyhgt_tpu.train.step import kl_div_loss, nll_loss
+
+
+# ------------------------------------------------------------------ metrics
+def test_ndcg_mrr_reference_semantics():
+    # relevance list sorted by model score (pyHGT/utils.py:5-20 semantics)
+    r = [0, 1, 0, 1]
+    assert dcg_at_k(r, 4) == pytest.approx(1 / np.log2(3) + 1 / np.log2(5))
+    ideal = dcg_at_k([1, 1, 0, 0], 4)
+    assert ndcg_at_k(r, 4) == pytest.approx(dcg_at_k(r, 4) / ideal)
+    assert mean_reciprocal_rank([r, [1, 0], [0, 0]]) == pytest.approx([0.5, 1.0, 0.0])
+
+
+def test_ranking_metrics_batched():
+    scores = np.array([[0.9, 0.1, 0.5], [0.1, 0.9, 0.5]])
+    rel = np.array([[1, 0, 0], [1, 0, 0]])
+    ndcg, mrr = ranking_metrics(scores, rel)
+    # row 1: relevant item ranks 1st; row 2: it ranks 3rd (0.1 < 0.5 < 0.9)
+    assert ndcg == pytest.approx((1.0 + 1 / np.log2(4)) / 2, abs=1e-6)
+    assert mrr == pytest.approx((1.0 + 1 / 3) / 2, abs=1e-6)
+
+
+# -------------------------------------------------------------------- losses
+def test_nll_loss_matches_manual(rng):
+    logp = np.log(np.clip(rng.dirichlet(np.ones(5), size=4), 1e-9, 1)).astype(np.float32)
+    y = np.array([0, 2, 4, 1])
+    expect = -np.mean([logp[i, y[i]] for i in range(4)])
+    assert float(nll_loss(jnp.asarray(logp), jnp.asarray(y))) == pytest.approx(expect, rel=1e-5)
+
+
+def test_kl_div_batchmean_semantics(rng):
+    logp = np.log(np.clip(rng.dirichlet(np.ones(5), size=4), 1e-9, 1)).astype(np.float32)
+    t = rng.dirichlet(np.ones(5), size=4).astype(np.float32)
+    expect = np.mean(np.sum(t * (np.log(t) - logp), axis=1))
+    assert float(kl_div_loss(jnp.asarray(logp), jnp.asarray(t))) == pytest.approx(
+        expect, rel=1e-4
+    )
+
+
+# ----------------------------------------------------------------- schedules
+def test_cosine_schedule_endpoints():
+    s = cosine_schedule(1e-3, period=100, eta_min=1e-6)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(100)) == pytest.approx(1e-6, rel=1e-2)
+
+
+def test_onecycle_shape():
+    s = onecycle_schedule(max_lr=5e-4, total_steps=100, pct_start=0.05)
+    lrs = [float(s(i)) for i in range(101)]
+    peak = int(np.argmax(lrs))
+    assert peak == pytest.approx(5, abs=2)
+    assert max(lrs) == pytest.approx(5e-4, rel=1e-3)
+    assert lrs[-1] < 1e-6
+
+
+# -------------------------------------------------------------------- loader
+def test_prefetch_loader_yields_and_repeats():
+    def sample(rng):
+        return {"x": np.full((2,), rng.integers(0, 1000))}
+
+    with PrefetchLoader(sample, n_workers=2, repeat=2, seed=0) as loader:
+        got = [np.asarray(b["x"])[0] for b in loader.take(8)]
+    # every batch appears exactly `repeat` times consecutively
+    for i in range(0, 8, 2):
+        assert got[i] == got[i + 1]
+
+
+def test_prefetch_loader_propagates_worker_error():
+    def sample(rng):
+        raise ValueError("boom")
+
+    with PrefetchLoader(sample, n_workers=1, seed=0) as loader:
+        with pytest.raises(ValueError, match="boom"):
+            loader.take(1)
+
+
+# ----------------------------------------------------------------- train step
+def test_train_step_converges_linear_regression(rng):
+    w_true = rng.normal(size=(8, 1)).astype(np.float32)
+    X = rng.normal(size=(64, 8)).astype(np.float32)
+    Y = X @ w_true
+
+    def loss_fn(params, rng_key, x, y):
+        pred = x @ params["w"]
+        return jnp.mean((pred - y) ** 2)
+
+    params = {"w": jnp.zeros((8, 1))}
+    tx = make_optimizer(1e-1, weight_decay=0.0, clip_norm=None, params=params)
+    state = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx)
+    rng_key = jax.random.key(0)
+    losses = []
+    for _ in range(60):
+        state, loss = step(state, rng_key, X, Y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 1e-2
+    assert int(state.step) == 60
+
+
+def test_no_decay_mask_excludes_biases():
+    from pyhgt_tpu.train.optim import _decay_mask
+
+    params = {"layer": {"wq": np.ones((2, 2)), "bq": np.ones(2), "skip": np.ones(1)}}
+    mask = _decay_mask(params)
+    assert mask["layer"]["wq"] is True
+    assert mask["layer"]["bq"] is False
+    assert mask["layer"]["skip"] is False
+
+
+# ---------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    tx = make_optimizer(1e-2, params=params)
+    state = TrainState.create(params, tx)
+    path = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(path, state)
+    zero = jax.tree.map(jnp.zeros_like, state)
+    restored = load_checkpoint(path, zero)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.asarray(params["w"]))
+
+
+def test_best_checkpoint_policy(tmp_path):
+    path = os.path.join(tmp_path, "best")
+    pol = BestCheckpointPolicy(path, mode="max")
+    s1 = {"w": jnp.ones(2)}
+    assert pol.update(0.5, s1)
+    assert not pol.update(0.4, {"w": jnp.zeros(2)})
+    assert pol.update(0.9, {"w": jnp.full((2,), 9.0)})
+    restored = load_checkpoint(path, {"w": jnp.zeros(2)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 9.0)
