@@ -8,6 +8,7 @@ single traced XLA program over the static padded batch layout.
 
 from pyhgt_tpu.models.conv import HGTConv, DenseHGTConv, GCNConv, GATConv, GeneralConv
 from pyhgt_tpu.models.model import GNN, Classifier, Matcher
+from pyhgt_tpu.models.composite import NodeClassifierModel, LinkMatcherModel
 
 __all__ = [
     "HGTConv",
@@ -18,4 +19,6 @@ __all__ = [
     "GNN",
     "Classifier",
     "Matcher",
+    "NodeClassifierModel",
+    "LinkMatcherModel",
 ]

@@ -16,8 +16,10 @@ from pyhgt_tpu.tasks.base import TimeSplit, build_time_split_pairs, TaskBatch
 from pyhgt_tpu.tasks.node_classification import NodeClassificationTask
 from pyhgt_tpu.tasks.ogbn import OgbnNodeTask
 from pyhgt_tpu.tasks.link_prediction import LinkPredictionTask
+from pyhgt_tpu.tasks.evaluate import multi_sample_eval
 
 __all__ = [
+    "multi_sample_eval",
     "TimeSplit",
     "build_time_split_pairs",
     "TaskBatch",

@@ -88,11 +88,17 @@ def subsample_pairs(pairs, fraction: float, seed: int = 43):
 
 @struct.dataclass
 class TaskBatch:
-    """SubgraphBatch + task payloads, as one jit-friendly pytree."""
+    """SubgraphBatch + task payloads, as one jit-friendly pytree.
+
+    ``target_ids`` maps label rows back to original graph node ids (-1 for
+    padding); used host-side by the multi-sample evaluator to accumulate
+    predictions per node across resamples (``eval_ogbn_mag.py:142-150``).
+    """
 
     sub: SubgraphBatch
     labels: np.ndarray          # task-dependent shape
     label_mask: np.ndarray      # [*] bool — which label rows are live
+    target_ids: np.ndarray      # [*] int64 original node ids (-1 pad)
 
     @property
     def batch_args(self):

@@ -55,6 +55,10 @@ def make_toy_graph(
                 g.add_edge(papers[int(j)], p, time=t, relation_type="PP_cite")
     for t, n in (("paper", n_paper), ("author", n_author), ("venue", n_venue)):
         g.set_features(t, {"emb": r.normal(size=(n, 16)).astype(np.float32)})
+    # author names with collisions (author-disambiguation fixtures)
+    g.node_feature["author"]["name"] = np.array(
+        [f"name{i % 4}" for i in range(n_author)]
+    )
     return g
 
 

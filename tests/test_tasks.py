@@ -1,0 +1,227 @@
+"""Task-layer tests: pair building, leakage masks, losses, end-to-end train."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyhgt_tpu.graph.schema import PadSpec
+from pyhgt_tpu.models import LinkMatcherModel, NodeClassifierModel
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.sampling.batch import BatchLayout
+from pyhgt_tpu.sampling.hgsampler import HGSampler
+from pyhgt_tpu.tasks import (
+    LinkPredictionTask,
+    NodeClassificationTask,
+    OgbnNodeTask,
+    TimeSplit,
+    build_time_split_pairs,
+)
+from pyhgt_tpu.tasks.link_prediction import (
+    build_link_pairs,
+    build_name_groups,
+    make_link_loss_fn,
+)
+from pyhgt_tpu.train.optim import make_optimizer
+from pyhgt_tpu.train.step import TrainState, make_train_step
+
+
+SPLITS = {
+    "train": TimeSplit(hi=2014),
+    "valid": TimeSplit(lo=2015, hi=2016),
+    "test": TimeSplit(lo=2017),
+}
+
+
+@pytest.fixture(scope="module")
+def task_env():
+    from tests.conftest import make_toy_graph
+
+    csr = make_toy_graph(n_paper=60, n_author=30, n_venue=5, seed=1).freeze()
+    sampler = HGSampler(csr, depth=2, width=8)
+    pad = PadSpec(node_cap=64, default_edge_cap=128)
+    layout = BatchLayout(schema=csr.schema, pad=pad)
+    em = EdgeStaticMeta.from_layout(layout)
+    return csr, sampler, layout, em
+
+
+def _gnn_kwargs(layout, n_hid=16):
+    return dict(
+        in_dim=16, n_hid=n_hid, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=2,
+        dropout=0.1, prev_norm=True, last_norm=True,
+    )
+
+
+def test_build_time_split_pairs(task_env):
+    csr, *_ = task_env
+    # paper-indexed reverse relation: each paper's venues
+    pairs_p = build_time_split_pairs(csr, ("paper", "venue", "rev_PV_in"), SPLITS)
+    assert sum(len(p) for p in pairs_p.values()) > 0
+    # every pair's stored time falls in its split window
+    for name, split in SPLITS.items():
+        for tgt, (labels, t) in pairs_p[name].items():
+            assert split.contains(np.array([t]))[0]
+            assert len(labels) >= 1
+
+
+def test_node_classification_sample_and_mask(task_env):
+    csr, sampler, layout, em = task_env
+    task = NodeClassificationTask(
+        graph=csr, sampler=sampler, layout=layout,
+        target_type="paper", label_meta=("venue", "paper", "PV_in"),
+        batch_size=8, multi_label=True,
+    )
+    pairs = build_time_split_pairs(csr, ("paper", "venue", "rev_PV_in"), SPLITS)
+    tb = task.sample(pairs["train"], SPLITS["train"], np.random.default_rng(0))
+    assert tb.labels.shape == (8, task.n_classes)
+    live = tb.labels[tb.label_mask]
+    np.testing.assert_allclose(live.sum(axis=1), 1.0, rtol=1e-5)
+
+    # leakage check: no PV edges between seed papers and venues remain
+    C = layout.node_cap
+    p_ti = layout.schema.type_id("paper")
+    v_ti = layout.schema.type_id("venue")
+    for b in layout.blocks:
+        meta = b.meta.as_tuple()
+        sl = slice(b.start, b.stop)
+        emask = np.asarray(tb.sub.edge_mask[sl])
+        if meta == ("venue", "paper", "PV_in"):
+            src_local = np.asarray(tb.sub.edge_src[sl]) - p_ti * C
+            assert not np.any(emask & (src_local < 8))
+        if meta == ("paper", "venue", "rev_PV_in"):
+            tgt_local = np.asarray(tb.sub.edge_tgt[sl]) - p_ti * C
+            assert not np.any(emask & (tgt_local < 8))
+
+
+def test_node_classification_trains(task_env):
+    csr, sampler, layout, em = task_env
+    task = NodeClassificationTask(
+        graph=csr, sampler=sampler, layout=layout,
+        target_type="paper", label_meta=("venue", "paper", "PV_in"),
+        batch_size=8, multi_label=True,
+    )
+    pairs = build_time_split_pairs(csr, ("paper", "venue", "rev_PV_in"), SPLITS)
+    model = NodeClassifierModel(
+        gnn_kwargs=_gnn_kwargs(layout), n_classes=task.n_classes,
+        target_type_id=layout.schema.type_id("paper"),
+        head_mode="seeds", n_seed=8,
+    )
+    rng = np.random.default_rng(0)
+    tb = task.sample(pairs["train"], SPLITS["train"], rng)
+    params = model.init(jax.random.key(0), *tb.batch_args, em)
+    tx = make_optimizer(1e-2, weight_decay=0.0, clip_norm=0.25, params=params)
+    state = TrainState.create(params, tx)
+    loss_fn = task.make_loss_fn(model, em)
+    step = make_train_step(loss_fn, tx)
+    losses = []
+    for i in range(12):
+        tb = task.sample(pairs["train"], SPLITS["train"], rng)
+        state, loss = step(
+            state, jax.random.key(i), *tb.batch_args, tb.labels, tb.label_mask
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_ogbn_task(task_env):
+    csr, sampler, layout, em = task_env
+    n_paper = csr.num_nodes["paper"]
+    rng = np.random.default_rng(0)
+    csr.aux.update(
+        y=rng.integers(0, 5, size=n_paper),
+        years=np.full(n_paper, 2015),
+        train_mask=rng.random(n_paper) < 0.6,
+        valid_mask=np.zeros(n_paper, bool),
+        test_mask=np.zeros(n_paper, bool),
+    )
+    csr.aux["valid_mask"][:5] = True
+    task = OgbnNodeTask(
+        graph=csr, sampler=sampler, layout=layout, batch_size=8,
+    )
+    tb = task.sample(np.arange(8), rng, split="train")
+    C = layout.node_cap
+    assert tb.labels.shape == (C,)
+    assert tb.label_mask.shape == (C,)
+    assert tb.label_mask.sum() > 0
+
+    model = NodeClassifierModel(
+        gnn_kwargs=_gnn_kwargs(layout), n_classes=task.n_classes,
+        target_type_id=layout.schema.type_id("paper"), head_mode="full",
+    )
+    params = model.init(jax.random.key(0), *tb.batch_args, em)
+    loss_fn = task.make_loss_fn(model, em)
+    loss = loss_fn(
+        params, jax.random.key(1), *tb.batch_args, tb.labels, tb.label_mask
+    )
+    assert np.isfinite(float(loss))
+    # accuracy helper
+    logp = np.log(np.full((4, 5), 0.2))
+    acc = OgbnNodeTask.accuracy(logp, np.zeros(4, int), np.ones(4, bool))
+    assert 0.0 <= acc <= 1.0
+
+
+def test_multi_sample_eval(task_env):
+    from pyhgt_tpu.tasks import multi_sample_eval
+
+    csr, sampler, layout, em = task_env
+    n_paper = csr.num_nodes["paper"]
+    rng = np.random.default_rng(0)
+    csr.aux.update(
+        y=rng.integers(0, 5, size=n_paper),
+        years=np.full(n_paper, 2015),
+        train_mask=np.zeros(n_paper, bool),
+        valid_mask=np.zeros(n_paper, bool),
+        test_mask=rng.random(n_paper) < 0.4,
+    )
+    task = OgbnNodeTask(graph=csr, sampler=sampler, layout=layout, batch_size=8)
+    model = NodeClassifierModel(
+        gnn_kwargs=_gnn_kwargs(layout), n_classes=task.n_classes,
+        target_type_id=layout.schema.type_id("paper"), head_mode="full",
+    )
+    tb = task.sample(np.arange(4), rng, split="test")
+    params = model.init(jax.random.key(0), *tb.batch_args, em)
+    fwd = jax.jit(lambda p, *a: model.apply(p, *a, em))
+    out = multi_sample_eval(
+        fwd, params, task, split="test", batch_size=8, vr_num=2,
+        rng=rng, max_nodes=16,
+    )
+    assert 0.0 <= out["acc"] <= 1.0
+    assert out["n_eval"] > 0
+
+
+def test_link_prediction_task(task_env):
+    csr, sampler, layout, em = task_env
+    groups = build_name_groups(
+        csr, ("author", "paper", "rev_AP_write"), min_papers=1, min_group=3
+    )
+    assert len(groups) > 0
+    pairs = build_link_pairs(
+        csr, groups, SPLITS, ("author", "paper", "rev_AP_write")
+    )
+    task = LinkPredictionTask(
+        graph=csr, sampler=sampler, layout=layout, groups=groups,
+        write_meta=("paper", "author", "AP_write"),
+        batch_size=8, max_group=8,
+    )
+    rng = np.random.default_rng(0)
+    tb = task.sample(pairs["train"], SPLITS["train"], rng)
+    assert tb.cand_idx.shape == (8, 8)
+    assert tb.query_mask.sum() > 0
+
+    model = LinkMatcherModel(
+        gnn_kwargs=_gnn_kwargs(layout), n_hid=16,
+        query_type_id=layout.schema.type_id("paper"), n_query=8,
+    )
+    params = model.init(
+        jax.random.key(0), *tb.batch_args, em, tb.cand_idx,
+        method=LinkMatcherModel.score_pairs,
+    )
+    loss_fn = make_link_loss_fn(model, em)
+    loss = loss_fn(
+        params, jax.random.key(1), *tb.batch_args,
+        tb.cand_idx, tb.cand_mask, tb.query_mask,
+    )
+    assert np.isfinite(float(loss))
