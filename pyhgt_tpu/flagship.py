@@ -56,6 +56,7 @@ class FlagshipConfig:
     n_classes: int
     n_seed: int
     dropout: float = 0.2
+    remat: bool = False
 
 
 PRESETS: Dict[str, FlagshipConfig] = {
@@ -73,7 +74,7 @@ PRESETS: Dict[str, FlagshipConfig] = {
     # -> ~3248 nodes/type; 4x512x8 model)
     "bench": FlagshipConfig(
         node_cap=3328, edge_cap=26624, in_dim=512, n_hid=512,
-        n_heads=8, n_layers=4, n_classes=349, n_seed=128,
+        n_heads=8, n_layers=4, n_classes=349, n_seed=128, remat=True,
     ),
 }
 
@@ -101,6 +102,7 @@ class FlagshipModel(nn.Module):
             prev_norm=True,
             last_norm=True,
             use_rte=True,
+            remat=c.remat,
         )
         self.clf = Classifier(n_out=c.n_classes)
 

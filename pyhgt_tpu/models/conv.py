@@ -63,6 +63,7 @@ class HGTConv(nn.Module):
     dropout: float = 0.2
     use_norm: bool = True
     use_rte: bool = True
+    remat: bool = False   # jax.checkpoint the attention core (backward remat)
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -113,21 +114,22 @@ class HGTConv(nn.Module):
         deterministic: bool = True,
     ):
         rte_vec = self.rte_vectors() if self.use_rte else None
-        aggr, _att = hgt_conv_core(
-            x,
-            edge_src,
-            edge_tgt,
-            edge_dt,
-            edge_mask,
-            em,
-            wq=self.wq, bq=self.bq,
-            wk=self.wk, bk=self.bk,
-            wv=self.wv, bv=self.bv,
-            rel_pri=self.rel_pri,
-            rel_att=self.rel_att,
-            rel_msg=self.rel_msg,
-            n_heads=self.n_heads,
-            rte_vec=rte_vec,
+        n_heads = self.n_heads
+
+        def core(x_, es_, et_, dt_, mk_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
+            return hgt_conv_core(
+                x_, es_, et_, dt_, mk_, em,
+                wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
+                n_heads=n_heads, rte_vec=rv,
+            )[0]
+
+        if self.remat:  # em stays static via closure; arrays are pytree args
+            core = jax.checkpoint(core)
+        aggr = core(
+            x, edge_src, edge_tgt, edge_dt, edge_mask,
+            self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
+            self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
         )
         # -- update half (conv.py:114-134): gated residual per type --
         trans = typed_linear(jax.nn.gelu(aggr), self.wa, self.ba)
@@ -152,6 +154,7 @@ class DenseHGTConv(nn.Module):
     dropout: float = 0.2
     use_norm: bool = True  # gates the per-type norm; the final FFN norm is always on
     use_rte: bool = True
+    remat: bool = False
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -198,12 +201,22 @@ class DenseHGTConv(nn.Module):
             if self.use_rte
             else None
         )
-        aggr, _ = hgt_conv_core(
-            x, edge_src, edge_tgt, edge_dt, edge_mask, em,
-            wq=self.wq, bq=self.bq, wk=self.wk, bk=self.bk,
-            wv=self.wv, bv=self.bv,
-            rel_pri=self.rel_pri, rel_att=self.rel_att, rel_msg=self.rel_msg,
-            n_heads=self.n_heads, rte_vec=rte_vec,
+        n_heads = self.n_heads
+
+        def core(x_, es_, et_, dt_, mk_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
+            return hgt_conv_core(
+                x_, es_, et_, dt_, mk_, em,
+                wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
+                n_heads=n_heads, rte_vec=rv,
+            )[0]
+
+        if self.remat:
+            core = jax.checkpoint(core)
+        aggr = core(
+            x, edge_src, edge_tgt, edge_dt, edge_mask,
+            self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
+            self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
         )
         trans = typed_linear(aggr, self.wa, self.ba)
         trans = self.drop(trans, deterministic=deterministic)
@@ -295,6 +308,7 @@ class GeneralConv(nn.Module):
     dropout: float = 0.2
     use_norm: bool = True
     use_rte: bool = True
+    remat: bool = False
 
     def setup(self):
         kw = dict(in_dim=self.in_dim, out_dim=self.out_dim)
@@ -306,6 +320,7 @@ class GeneralConv(nn.Module):
             dropout=self.dropout,
             use_norm=self.use_norm,
             use_rte=self.use_rte,
+            remat=self.remat,
         )
         if self.conv_name == "hgt":
             self.base_conv = HGTConv(**hkw)

@@ -36,6 +36,7 @@ class GNN(nn.Module):
     prev_norm: bool = False
     last_norm: bool = False
     use_rte: bool = True
+    remat: bool = False
 
     def setup(self):
         self.adapt_w = self.param(
@@ -60,6 +61,7 @@ class GNN(nn.Module):
                     dropout=self.dropout,
                     use_norm=self.last_norm if is_last else self.prev_norm,
                     use_rte=self.use_rte,
+                    remat=self.remat,
                 )
             )
         self.convs = convs

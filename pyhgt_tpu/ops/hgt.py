@@ -187,17 +187,21 @@ def hgt_conv_core(
     v = typed_linear(x, wv, bv).reshape(T, C, H, dk)
 
     # --- per-block relation transforms at node granularity ---
+    # NOTE on layouts: every per-edge tensor below stays flat [E, Dout]
+    # (Dout = H*dk is lane-aligned); [E, H, dk] materializations would pad
+    # dk=64 to the 128-lane tile and double HBM footprint. Head splits
+    # happen only inside fused elementwise/reduce ops.
     k_rel = _block_relation_transform(k, rel_att, em)   # [B, C, H, dk]
     v_rel = _block_relation_transform(v, rel_msg, em)   # [B, C, H, dk]
     B = k_rel.shape[0]
-    k_rel = k_rel.reshape(B * C, H, dk)
-    v_rel = v_rel.reshape(B * C, H, dk)
+    k_rel = k_rel.reshape(B * C, Dout)
+    v_rel = v_rel.reshape(B * C, Dout)
 
     # --- per-edge gathers (the SDDMM inputs) ---
     gidx = edge_src + jnp.asarray(em.gather_off)        # index into [B*C, ...]
-    k_e = k_rel[gidx]                                    # [E, H, dk]
+    k_e = k_rel[gidx]                                    # [E, Dout]
     v_e = v_rel[gidx]
-    q_e = q.reshape(N, H, dk)[edge_tgt]                  # [E, H, dk]
+    q_e = q.reshape(N, Dout)[edge_tgt]                   # [E, Dout]
 
     # --- RTE additive correction via the 240-row tables ---
     if rte_vec is not None:
@@ -205,13 +209,14 @@ def hgt_conv_core(
         v_tab = _rte_block_tables(rte_vec, wv, rel_msg, em, H, dk)
         L = rte_vec.shape[0]
         tab_idx = jnp.asarray(em.edge_block) * L + edge_dt
-        k_e = k_e + k_tab.reshape(B * L, H, dk)[tab_idx]
-        v_e = v_e + v_tab.reshape(B * L, H, dk)[tab_idx]
+        k_e = k_e + k_tab.reshape(B * L, Dout)[tab_idx]
+        v_e = v_e + v_tab.reshape(B * L, Dout)[tab_idx]
 
-    # --- attention scores (SDDMM) ---
+    # --- attention scores (SDDMM; fused multiply-reduce over dk) ---
     pri = rel_pri[jnp.asarray(em.edge_rel)]              # [E, H]
-    att = jnp.einsum(
-        "ehk,ehk->eh", q_e.astype(jnp.float32), k_e.astype(jnp.float32)
+    att = jnp.sum(
+        (q_e.astype(jnp.float32) * k_e.astype(jnp.float32)).reshape(E, H, dk),
+        axis=-1,
     )
     att = att * pri.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
 
@@ -219,6 +224,8 @@ def hgt_conv_core(
     w = segment_softmax(att, edge_tgt, N, mask=edge_mask)  # [E, H]
 
     # --- weighted scatter-add (SpMM) ---
-    msg = (w[..., None] * v_e.astype(jnp.float32)).reshape(E, Dout)
+    msg = (
+        w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)
+    ).reshape(E, Dout)
     aggr = segment_sum(msg, edge_tgt, N, mask=edge_mask)   # [N, Dout]
     return aggr.reshape(T, C, Dout).astype(x.dtype), w
