@@ -64,15 +64,16 @@ def main() -> None:
 
     for _ in range(args.warmup):
         state, loss = step(state, rng, *bargs, y)
-    loss.block_until_ready()
+    float(loss)  # hard host sync (block_until_ready is unreliable on the
+    # tunneled axon platform: it returned before execution finished)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, loss = step(state, rng, *bargs, y)
-    loss.block_until_ready()
+    lval = float(loss)  # sync on the value, not block_until_ready
     dt = (time.perf_counter() - t0) / args.steps
 
-    assert np.isfinite(float(loss)), f"non-finite loss {loss}"
+    assert np.isfinite(lval), f"non-finite loss {lval}"
     edges_per_s = n_edges * n_layers / dt
     vs = edges_per_s / BASELINE_EDGES_PER_S if BASELINE_EDGES_PER_S else 1.0
     print(
