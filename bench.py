@@ -40,7 +40,8 @@ def main() -> None:
 
     fl = build_flagship(args.preset)
     batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
-    params = fl.init_params(jax.random.key(0), batch)
+    se = fl.sort(batch)
+    params = fl.init_params(jax.random.key(0), batch, se)
     tx = make_optimizer(
         cosine_schedule(1e-3, 1000), weight_decay=0.01, clip_norm=0.25,
         params=params,
@@ -56,6 +57,7 @@ def main() -> None:
         stack.edge_mask, stack.node_mask,
     )
     bargs = tuple(jax.device_put(a) for a in bargs)
+    se_stack = jax.device_put(jax.tree.map(lambda x: np.asarray(x)[None], se))
     y = jax.device_put(y)
     rng = jax.random.key(1)
 
@@ -63,13 +65,13 @@ def main() -> None:
     n_layers = fl.cfg.n_layers
 
     for _ in range(args.warmup):
-        state, loss = step(state, rng, *bargs, y)
+        state, loss = step(state, rng, *bargs, se_stack, y)
     float(loss)  # hard host sync (block_until_ready is unreliable on the
     # tunneled axon platform: it returned before execution finished)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, loss = step(state, rng, *bargs, y)
+        state, loss = step(state, rng, *bargs, se_stack, y)
     lval = float(loss)  # sync on the value, not block_until_ready
     dt = (time.perf_counter() - t0) / args.steps
 

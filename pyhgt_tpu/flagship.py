@@ -57,6 +57,7 @@ class FlagshipConfig:
     n_seed: int
     dropout: float = 0.2
     remat: bool = False
+    edge_impl: str = "sorted"  # scatter-free path is the TPU default
 
 
 PRESETS: Dict[str, FlagshipConfig] = {
@@ -103,16 +104,17 @@ class FlagshipModel(nn.Module):
             last_norm=True,
             use_rte=True,
             remat=c.remat,
+            edge_impl=c.edge_impl,
         )
         self.clf = Classifier(n_out=c.n_classes)
 
     def __call__(
         self, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
-        em: EdgeStaticMeta, deterministic: bool = True,
+        em: EdgeStaticMeta, deterministic: bool = True, se=None,
     ):
         h = self.gnn(
             node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-            deterministic=deterministic,
+            deterministic=deterministic, se=se,
         )
         seeds = h[0, : self.cfg.n_seed]  # paper seeds come first by contract
         return self.clf(seeds)
@@ -126,8 +128,14 @@ class Flagship:
     em: EdgeStaticMeta
     model: FlagshipModel
 
-    def init_params(self, rng_key, batch: SubgraphBatch):
-        return self.model.init(rng_key, *self.batch_args(batch), self.em)
+    def init_params(self, rng_key, batch: SubgraphBatch, se=None):
+        se = se or self.sort(batch)
+        return self.model.init(rng_key, *self.batch_args(batch), self.em, se=se)
+
+    def sort(self, batch: SubgraphBatch):
+        from pyhgt_tpu.sampling.sorted_batch import sort_batch
+
+        return sort_batch(batch, self.layout, self.em)
 
     def batch_args(self, batch: SubgraphBatch):
         return (
@@ -143,10 +151,11 @@ class Flagship:
         """Pure jittable forward: (params, *batch_args) -> log_probs."""
         em = self.em
 
-        def fwd(params, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask):
+        def fwd(params, node_feat, edge_src, edge_tgt, edge_dt, edge_mask,
+                node_mask, se):
             return self.model.apply(
                 params, node_feat, edge_src, edge_tgt, edge_dt, edge_mask,
-                node_mask, em,
+                node_mask, em, se=se,
             )
 
         return fwd
@@ -160,18 +169,18 @@ class Flagship:
         em = self.em
         model = self.model
 
-        def per_graph(params, rng, nf, es, et, dt, emk, nmk, labels):
+        def per_graph(params, rng, nf, es, et, dt, emk, nmk, se, labels):
             logp = model.apply(
-                params, nf, es, et, dt, emk, nmk, em,
+                params, nf, es, et, dt, emk, nmk, em, se=se,
                 deterministic=False, rngs={"dropout": rng},
             )
             return nll_loss(logp, labels)
 
-        def loss(params, rng, nf, es, et, dt, emk, nmk, labels):
+        def loss(params, rng, nf, es, et, dt, emk, nmk, se, labels):
             rngs = jax.random.split(rng, nf.shape[0])
-            losses = jax.vmap(per_graph, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
-                params, rngs, nf, es, et, dt, emk, nmk, labels
-            )
+            losses = jax.vmap(
+                per_graph, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+            )(params, rngs, nf, es, et, dt, emk, nmk, se, labels)
             return jnp.mean(losses)
 
         return loss

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from pyhgt_tpu.ops.hgt import EdgeStaticMeta, hgt_conv_core, typed_linear
+from pyhgt_tpu.ops.sorted_hgt import hgt_conv_core_sorted
 from pyhgt_tpu.ops.rte import RTE_MAX_LEN, rte_sin_table
 from pyhgt_tpu.ops.segment import segment_softmax, segment_sum
 
@@ -64,6 +65,7 @@ class HGTConv(nn.Module):
     use_norm: bool = True
     use_rte: bool = True
     remat: bool = False   # jax.checkpoint the attention core (backward remat)
+    edge_impl: str = "segment"  # 'segment' (jnp scatter) | 'sorted' (scatter-free)
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -112,25 +114,46 @@ class HGTConv(nn.Module):
         node_mask,
         em: EdgeStaticMeta,
         deterministic: bool = True,
+        se=None,   # SortedEdges for edge_impl='sorted'
     ):
         rte_vec = self.rte_vectors() if self.use_rte else None
         n_heads = self.n_heads
 
-        def core(x_, es_, et_, dt_, mk_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
-            return hgt_conv_core(
-                x_, es_, et_, dt_, mk_, em,
-                wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
-                rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
-                n_heads=n_heads, rte_vec=rv,
-            )[0]
+        if self.edge_impl == "sorted":
+            if se is None:
+                raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
-        if self.remat:  # em stays static via closure; arrays are pytree args
-            core = jax.checkpoint(core)
-        aggr = core(
-            x, edge_src, edge_tgt, edge_dt, edge_mask,
-            self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
-            self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
-        )
+            def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
+                return hgt_conv_core_sorted(
+                    x_, se_, em,
+                    wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                    rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
+                    n_heads=n_heads, rte_vec=rv,
+                )
+
+            if self.remat:
+                core = jax.checkpoint(core)
+            aggr = core(
+                x, se,
+                self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
+                self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
+            )
+        else:
+            def core(x_, es_, et_, dt_, mk_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
+                return hgt_conv_core(
+                    x_, es_, et_, dt_, mk_, em,
+                    wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                    rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
+                    n_heads=n_heads, rte_vec=rv,
+                )[0]
+
+            if self.remat:  # em stays static via closure; arrays are pytree args
+                core = jax.checkpoint(core)
+            aggr = core(
+                x, edge_src, edge_tgt, edge_dt, edge_mask,
+                self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
+                self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
+            )
         # -- update half (conv.py:114-134): gated residual per type --
         trans = typed_linear(jax.nn.gelu(aggr), self.wa, self.ba)
         trans = self.drop(trans, deterministic=deterministic)
@@ -155,6 +178,7 @@ class DenseHGTConv(nn.Module):
     use_norm: bool = True  # gates the per-type norm; the final FFN norm is always on
     use_rte: bool = True
     remat: bool = False
+    edge_impl: str = "segment"
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -195,6 +219,7 @@ class DenseHGTConv(nn.Module):
         node_mask,
         em: EdgeStaticMeta,
         deterministic: bool = True,
+        se=None,
     ):
         rte_vec = (
             (jnp.asarray(rte_sin_table(self.in_dim)) @ self.rte_w + self.rte_b)
@@ -203,21 +228,41 @@ class DenseHGTConv(nn.Module):
         )
         n_heads = self.n_heads
 
-        def core(x_, es_, et_, dt_, mk_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
-            return hgt_conv_core(
-                x_, es_, et_, dt_, mk_, em,
-                wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
-                rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
-                n_heads=n_heads, rte_vec=rv,
-            )[0]
+        if self.edge_impl == "sorted":
+            if se is None:
+                raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
-        if self.remat:
-            core = jax.checkpoint(core)
-        aggr = core(
-            x, edge_src, edge_tgt, edge_dt, edge_mask,
-            self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
-            self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
-        )
+            def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
+                return hgt_conv_core_sorted(
+                    x_, se_, em,
+                    wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                    rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
+                    n_heads=n_heads, rte_vec=rv,
+                )
+
+            if self.remat:
+                core = jax.checkpoint(core)
+            aggr = core(
+                x, se,
+                self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
+                self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
+            )
+        else:
+            def core(x_, es_, et_, dt_, mk_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
+                return hgt_conv_core(
+                    x_, es_, et_, dt_, mk_, em,
+                    wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
+                    rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
+                    n_heads=n_heads, rte_vec=rv,
+                )[0]
+
+            if self.remat:
+                core = jax.checkpoint(core)
+            aggr = core(
+                x, edge_src, edge_tgt, edge_dt, edge_mask,
+                self.wq, self.bq, self.wk, self.bk, self.wv, self.bv,
+                self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
+            )
         trans = typed_linear(aggr, self.wa, self.ba)
         trans = self.drop(trans, deterministic=deterministic)
         res = trans + x
@@ -241,7 +286,7 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(
         self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-        deterministic: bool = True,
+        deterministic: bool = True, se=None,
     ):
         T, C, _ = x.shape
         N = T * C
@@ -268,7 +313,7 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(
         self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-        deterministic: bool = True,
+        deterministic: bool = True, se=None,
     ):
         T, C, _ = x.shape
         H = self.n_heads
@@ -309,6 +354,7 @@ class GeneralConv(nn.Module):
     use_norm: bool = True
     use_rte: bool = True
     remat: bool = False
+    edge_impl: str = "segment"
 
     def setup(self):
         kw = dict(in_dim=self.in_dim, out_dim=self.out_dim)
@@ -321,6 +367,7 @@ class GeneralConv(nn.Module):
             use_norm=self.use_norm,
             use_rte=self.use_rte,
             remat=self.remat,
+            edge_impl=self.edge_impl,
         )
         if self.conv_name == "hgt":
             self.base_conv = HGTConv(**hkw)

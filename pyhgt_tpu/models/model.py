@@ -37,6 +37,7 @@ class GNN(nn.Module):
     last_norm: bool = False
     use_rte: bool = True
     remat: bool = False
+    edge_impl: str = "segment"
 
     def setup(self):
         self.adapt_w = self.param(
@@ -62,6 +63,7 @@ class GNN(nn.Module):
                     use_norm=self.last_norm if is_last else self.prev_norm,
                     use_rte=self.use_rte,
                     remat=self.remat,
+                    edge_impl=self.edge_impl,
                 )
             )
         self.convs = convs
@@ -76,6 +78,7 @@ class GNN(nn.Module):
         node_mask,            # [T, C]
         em: EdgeStaticMeta,
         deterministic: bool = True,
+        se=None,
     ):
         h = jnp.tanh(typed_linear(node_feat, self.adapt_w, self.adapt_b))
         h = self.drop(h, deterministic=deterministic)
@@ -83,7 +86,7 @@ class GNN(nn.Module):
         for conv in self.convs:
             h = conv(
                 h, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-                deterministic=deterministic,
+                deterministic=deterministic, se=se,
             )
         return h
 

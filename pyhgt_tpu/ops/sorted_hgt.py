@@ -1,0 +1,268 @@
+"""Scatter-free HGT edge stage over target-sorted edges (custom VJP).
+
+Motivation (measured on v5e): XLA:TPU lowers ``segment_sum``/`scatter-add`
+with duplicate indices to a serialized update loop — ~50 ns/edge, which
+made the jnp path ~23 ms/layer on a 226k-edge batch. This module removes
+every scatter from both forward AND backward:
+
+- per-segment reductions become **prefix-sum differences at CSR
+  boundaries** (``seg_ptr`` precomputed on host by
+  :func:`pyhgt_tpu.sampling.sorted_batch.sort_batch`): cumsum lowers to
+  reduce-window on TPU, boundaries are plain gathers;
+- the per-segment max for softmax stability uses a **segmented
+  associative scan** on the small ``[E, H]`` score tensor;
+- gather *transposes* in the backward (normally scatter-adds) become
+  sorted segment sums under the host-precomputed secondary permutations
+  ``perm_src`` / ``perm_tab`` — the CSC view of the same edges;
+- the relation-prior gather is an ``[E, R] @ [R, H]`` one-hot matmul, so
+  its gradient is the transposed matmul (MXU, no scatter).
+
+The algebra matches :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` exactly
+(reference semantics: ``/root/reference/pyHGT/conv.py:60-111``); parity is
+asserted in tests/test_sorted_ops.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+
+# ---------------------------------------------------------------- primitives
+def seg_sum_csr(data, seg_ptr):
+    """Per-segment sums of tgt-sorted ``data [E, ...]`` via cumsum-diff.
+
+    ``seg_ptr [S+1]`` delimits segments (CSR). Returns [S, ...]. f32 cumsum
+    error is ~eps·sqrt(E)·|x| — fine for training-grade sums.
+    """
+    cs = jnp.cumsum(data.astype(jnp.float32), axis=0)
+    zero = jnp.zeros((1,) + data.shape[1:], dtype=cs.dtype)
+    cs = jnp.concatenate([zero, cs], axis=0)      # cs[i] = sum of data[:i]
+    return cs[seg_ptr[1:]] - cs[seg_ptr[:-1]]
+
+
+def seg_max_scan(data, seg_ids):
+    """Segmented running max over sorted ``seg_ids``; returns the running
+    tensor [E, ...] (value at a segment's last row = the segment max)."""
+    ids = seg_ids[:, None].astype(jnp.int32)
+
+    def comb(a, b):
+        (ma, ia), (mb, ib) = a, b
+        return (jnp.where(ia == ib, jnp.maximum(ma, mb), mb), ib)
+
+    run, _ = jax.lax.associative_scan(comb, (data, jnp.broadcast_to(ids, ids.shape)))
+    return run
+
+
+def seg_max_csr(data, seg_ids, seg_ptr):
+    """Per-segment max [S, ...] for tgt-sorted data (empty segments: NEG)."""
+    run = seg_max_scan(data, seg_ids)
+    S = seg_ptr.shape[0] - 1
+    last = jnp.maximum(seg_ptr[1:] - 1, 0)
+    out = run[last]
+    empty = seg_ptr[1:] == seg_ptr[:-1]
+    return jnp.where(empty.reshape((S,) + (1,) * (data.ndim - 1)), NEG, out)
+
+
+# --------------------------------------------------------------- edge stage
+def _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte):
+    k_e = k_rel[gidx]
+    v_e = v_rel[gidx]
+    if use_rte:
+        k_e = k_e + k_tab[tabidx]
+        v_e = v_e + v_tab[tabidx]
+    return k_e, v_e
+
+
+def _attention(q_e, k_e, pri_e, mask, H, dk):
+    E = q_e.shape[0]
+    pre = jnp.sum(
+        (q_e.astype(jnp.float32) * k_e.astype(jnp.float32)).reshape(E, H, dk),
+        axis=-1,
+    ) / jnp.sqrt(jnp.float32(dk))
+    att = pre * pri_e.astype(jnp.float32)
+    att = jnp.where(mask[:, None], att, NEG)
+    return pre, att
+
+
+def _softmax_sorted(att, edge_tgt, seg_ptr_tgt, mask):
+    m_n = seg_max_csr(att, edge_tgt, seg_ptr_tgt)          # [N, H]
+    m_e = m_n[edge_tgt]
+    ex = jnp.exp(att - m_e) * mask[:, None]
+    den_n = seg_sum_csr(ex, seg_ptr_tgt)                   # [N, H]
+    den_e = jnp.maximum(den_n[edge_tgt], 1e-38)
+    return ex / den_e
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def hgt_edge_stage(
+    q_n,        # [N, D]  target queries (flat node space)
+    k_rel,      # [G, D]  relation-transformed keys,   G = B*C
+    v_rel,      # [G, D]
+    k_tab,      # [Gt, D] RTE K tables, Gt = B*L (dummy zeros if RTE off)
+    v_tab,      # [Gt, D]
+    pri_e,      # [E, H]  per-edge relation prior (from one-hot matmul)
+    dims: Tuple[int, int, bool],  # (H, dk, use_rte) — static
+    edge_tgt, gidx, tabidx, mask_f,   # int32/int32/int32/f32 [E]
+    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+):
+    aggr, _ = _edge_fwd_impl(
+        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
+        edge_tgt, gidx, tabidx, mask_f,
+        seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+    )
+    return aggr
+
+
+def _edge_fwd_impl(
+    q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
+    edge_tgt, gidx, tabidx, mask_f,
+    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+):
+    H, dk, use_rte = dims
+    D = q_n.shape[-1]
+    E = edge_tgt.shape[0]
+    mask = mask_f > 0
+    k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte)
+    q_e = q_n[edge_tgt]
+    _pre, att = _attention(q_e, k_e, pri_e, mask, H, dk)
+    w = _softmax_sorted(att, edge_tgt, seg_ptr_tgt, mask)   # [E, H]
+    msg = (w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)).reshape(E, D)
+    aggr = seg_sum_csr(msg, seg_ptr_tgt)                    # [N, D]
+    return aggr, w
+
+
+def _edge_fwd(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
+              edge_tgt, gidx, tabidx, mask_f,
+              seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab):
+    aggr, w = _edge_fwd_impl(
+        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
+        edge_tgt, gidx, tabidx, mask_f,
+        seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+    )
+    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w,
+           edge_tgt, gidx, tabidx, mask_f,
+           seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab)
+    return aggr, res
+
+
+def _edge_bwd(dims, res, g_aggr):
+    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w,
+     edge_tgt, gidx, tabidx, mask_f,
+     seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab) = res
+    H, dk, use_rte = dims
+    D = q_n.shape[-1]
+    E = edge_tgt.shape[0]
+    mask = mask_f > 0
+
+    # recompute cheap per-edge tensors (gathers) instead of saving them
+    k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte)
+    q_e = q_n[edge_tgt]
+    pre, _att = _attention(q_e, k_e, pri_e, mask, H, dk)   # pre = att / pri
+
+    g_aggr = g_aggr.astype(jnp.float32)
+    g_msg = g_aggr[edge_tgt]                               # [E, D] gather
+    v_eh = v_e.astype(jnp.float32).reshape(E, H, dk)
+    g_msg_h = g_msg.reshape(E, H, dk)
+    g_w = jnp.sum(g_msg_h * v_eh, axis=-1)                 # [E, H]
+    g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D)
+
+    # softmax backward: g_att = w * (g_w - sum_seg(w * g_w))
+    s_n = seg_sum_csr(w * g_w, seg_ptr_tgt)                # [N, H]
+    g_att = w * (g_w - s_n[edge_tgt])
+    g_att = jnp.where(mask[:, None], g_att, 0.0)
+
+    g_pri_e = g_att * pre                                  # [E, H]
+    coef = (g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk)))
+    k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
+    q_eh = q_e.astype(jnp.float32).reshape(E, H, dk)
+    g_q_e = (coef[:, :, None] * k_eh).reshape(E, D)
+    g_k_e = (coef[:, :, None] * q_eh).reshape(E, D)
+
+    # gather transposes as sorted segment sums (no scatter anywhere)
+    g_q_n = seg_sum_csr(g_q_e, seg_ptr_tgt)                # [N, D]
+    g_k_rel = seg_sum_csr(g_k_e[perm_src], seg_ptr_src)    # [G, D]
+    g_v_rel = seg_sum_csr(g_v_e[perm_src], seg_ptr_src)
+    if use_rte:
+        g_k_tab = seg_sum_csr(g_k_e[perm_tab], seg_ptr_tab)  # [Gt, D]
+        g_v_tab = seg_sum_csr(g_v_e[perm_tab], seg_ptr_tab)
+    else:
+        g_k_tab = jnp.zeros_like(k_tab)
+        g_v_tab = jnp.zeros_like(v_tab)
+
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (
+        g_q_n.astype(q_n.dtype), g_k_rel.astype(k_rel.dtype),
+        g_v_rel.astype(v_rel.dtype), g_k_tab.astype(k_tab.dtype),
+        g_v_tab.astype(v_tab.dtype), g_pri_e.astype(pri_e.dtype),
+        f0(edge_tgt), f0(gidx), f0(tabidx),
+        jnp.zeros_like(mask_f),
+        f0(seg_ptr_tgt), f0(perm_src), f0(seg_ptr_src),
+        f0(perm_tab), f0(seg_ptr_tab),
+    )
+
+
+hgt_edge_stage.defvjp(_edge_fwd, _edge_bwd)
+
+
+# ------------------------------------------------------------- full conv core
+def hgt_conv_core_sorted(
+    x,                 # [T, C, Din]
+    se,                # SortedEdges (host-precomputed, device arrays)
+    em,                # EdgeStaticMeta (static)
+    *,
+    wq, bq, wk, bk, wv, bv,
+    rel_pri, rel_att, rel_msg,
+    n_heads: int,
+    rte_vec=None,      # [L, Din] or None
+):
+    """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
+    target-sorted layout — scatter-free forward and backward."""
+    from pyhgt_tpu.ops.hgt import (
+        _block_relation_transform,
+        _rte_block_tables,
+        typed_linear,
+    )
+
+    T, C, Din = x.shape
+    Dout = wq.shape[-1]
+    H, dk = n_heads, Dout // n_heads
+    N = T * C
+
+    q = typed_linear(x, wq, bq).reshape(T, C, H, dk)
+    k = typed_linear(x, wk, bk).reshape(T, C, H, dk)
+    v = typed_linear(x, wv, bv).reshape(T, C, H, dk)
+    k_rel = _block_relation_transform(k, rel_att, em)
+    v_rel = _block_relation_transform(v, rel_msg, em)
+    B = k_rel.shape[0]
+    k_rel = k_rel.reshape(B * C, Dout)
+    v_rel = v_rel.reshape(B * C, Dout)
+
+    use_rte = rte_vec is not None
+    if use_rte:
+        L = rte_vec.shape[0]
+        k_tab = _rte_block_tables(rte_vec, wk, rel_att, em, H, dk).reshape(B * L, Dout)
+        v_tab = _rte_block_tables(rte_vec, wv, rel_msg, em, H, dk).reshape(B * L, Dout)
+    else:
+        k_tab = jnp.zeros((1, Dout), dtype=x.dtype)
+        v_tab = jnp.zeros((1, Dout), dtype=x.dtype)
+
+    # relation prior via one-hot matmul (gradient = transposed matmul)
+    pri_e = se.rel_onehot @ rel_pri                       # [E, H]
+    mask_f = se.edge_mask.astype(jnp.float32)
+    tabidx = se.tabidx if use_rte else jnp.zeros_like(se.tabidx)
+
+    aggr = hgt_edge_stage(
+        q.reshape(N, Dout), k_rel, v_rel, k_tab, v_tab, pri_e,
+        (H, dk, use_rte),
+        se.edge_tgt, se.gidx, tabidx, mask_f,
+        se.seg_ptr_tgt, se.perm_src, se.seg_ptr_src,
+        se.perm_tab, se.seg_ptr_tab,
+    )
+    return aggr.reshape(T, C, Dout).astype(x.dtype)

@@ -1,0 +1,112 @@
+"""Target-sorted edge view — the scatter-free device layout.
+
+TPU scatter with duplicate indices serializes (~50 ns/edge measured on
+v5e), so the conv's segment ops must not lower to scatter. This module
+precomputes, on host at batch-build time, everything the device needs to
+run the whole edge stage with only gathers, matmuls and (segmented) scans:
+
+- edges permuted so ``edge_tgt`` is globally non-decreasing (padding last),
+  with ``seg_ptr_tgt[n] .. seg_ptr_tgt[n+1]`` delimiting node n's incoming
+  edges — a CSR indptr over the flat node space;
+- ``gidx`` (index into the per-block relation-transformed node banks) and
+  ``tabidx`` (index into the per-(block, Δt) RTE tables), both permuted;
+- ``rel_onehot [E, R]``: relation membership as f32, so the relation-prior
+  gather AND its gradient are MXU matmuls rather than scatters;
+- a second permutation ``perm_src`` (+ ``seg_ptr_src``) sorting edges by
+  ``gidx``, used by the custom backward pass to turn the K/V gather
+  transpose into a sorted segment sum; likewise ``perm_tab`` /
+  ``seg_ptr_tab`` for the RTE tables.
+
+The reference has no analogue: PyG scatters on GPU where atomics are
+cheap (``/root/reference/pyHGT/conv.py:13,108``). This layout is the
+TPU-native answer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from flax import struct
+
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.ops.rte import RTE_MAX_LEN
+from pyhgt_tpu.sampling.batch import BatchLayout, SubgraphBatch
+
+
+@struct.dataclass
+class SortedEdges:
+    """Device arrays for the scatter-free edge stage (all [E] unless noted)."""
+
+    edge_src: np.ndarray      # flat source node index, tgt-sorted order
+    edge_tgt: np.ndarray
+    edge_dt: np.ndarray
+    edge_mask: np.ndarray     # bool
+    gidx: np.ndarray          # into [B*C] relation-transformed node banks
+    tabidx: np.ndarray        # into [B*L] RTE tables
+    rel_onehot: np.ndarray    # [E, R] f32
+    seg_ptr_tgt: np.ndarray   # [N+1]
+    perm_src: np.ndarray      # [E] permutation: tgt-order -> gidx-sorted
+    seg_ptr_src: np.ndarray   # [B*C+1]
+    perm_tab: np.ndarray      # [E] permutation: tgt-order -> tabidx-sorted
+    seg_ptr_tab: np.ndarray   # [B*L+1]
+
+
+def sort_batch(
+    batch: SubgraphBatch,
+    layout: BatchLayout,
+    em: Optional[EdgeStaticMeta] = None,
+    num_relations: Optional[int] = None,
+) -> SortedEdges:
+    em = em or EdgeStaticMeta.from_layout(layout)
+    T, C = layout.num_types, layout.node_cap
+    N = T * C
+    E = layout.num_edges
+    B = len(layout.blocks)
+    L = RTE_MAX_LEN
+    R = num_relations or (layout.schema.num_relations)
+
+    src = np.asarray(batch.edge_src)
+    tgt = np.asarray(batch.edge_tgt)
+    dt = np.asarray(batch.edge_dt)
+    mask = np.asarray(batch.edge_mask)
+
+    key = np.where(mask, tgt, N)  # padding sorts last
+    perm = np.argsort(key, kind="stable")
+    src, tgt, dt, mask, key = src[perm], tgt[perm], dt[perm], mask[perm], key[perm]
+    gidx = (np.asarray(batch.edge_src) + em.gather_off)[perm]
+    gidx = np.where(mask, gidx, B * C - 1).astype(np.int32)
+    tabidx = (em.edge_block * L + np.asarray(batch.edge_dt))[perm]
+    tabidx = np.where(mask, tabidx, B * L - 1).astype(np.int32)
+    rel = em.edge_rel[perm]
+    onehot = np.zeros((E, R), dtype=np.float32)
+    onehot[np.arange(E), rel] = mask  # padded rows are all-zero
+
+    seg_ptr_tgt = np.searchsorted(key, np.arange(N + 1)).astype(np.int32)
+
+    key_src = np.where(mask, gidx, B * C)
+    perm_src = np.argsort(key_src, kind="stable").astype(np.int32)
+    seg_ptr_src = np.searchsorted(key_src[perm_src], np.arange(B * C + 1)).astype(
+        np.int32
+    )
+
+    key_tab = np.where(mask, tabidx, B * L)
+    perm_tab = np.argsort(key_tab, kind="stable").astype(np.int32)
+    seg_ptr_tab = np.searchsorted(key_tab[perm_tab], np.arange(B * L + 1)).astype(
+        np.int32
+    )
+
+    return SortedEdges(
+        edge_src=src.astype(np.int32),
+        edge_tgt=np.where(mask, tgt, N - 1).astype(np.int32),
+        edge_dt=dt.astype(np.int32),
+        edge_mask=mask,
+        gidx=gidx,
+        tabidx=tabidx,
+        rel_onehot=onehot,
+        seg_ptr_tgt=seg_ptr_tgt,
+        perm_src=perm_src,
+        seg_ptr_src=seg_ptr_src,
+        perm_tab=perm_tab,
+        seg_ptr_tab=seg_ptr_tab,
+    )

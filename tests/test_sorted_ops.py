@@ -1,0 +1,125 @@
+"""Sorted (scatter-free) edge stage: value + gradient parity with the
+reference-semantics jnp path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta, hgt_conv_core
+from pyhgt_tpu.ops.rte import rte_sin_table
+from pyhgt_tpu.ops.sorted_hgt import (
+    hgt_conv_core_sorted,
+    seg_max_csr,
+    seg_sum_csr,
+)
+from pyhgt_tpu.sampling.batch import BatchLayout
+from pyhgt_tpu.sampling.sorted_batch import sort_batch
+from pyhgt_tpu.utils.synth import synth_batch
+
+
+@pytest.fixture(scope="module")
+def env():
+    schema = GraphSchema(
+        node_types=("paper", "author"),
+        metas=(
+            MetaRelation("paper", "author", "AP_write"),
+            MetaRelation("author", "paper", "rev_AP_write"),
+            MetaRelation("paper", "paper", "PP_cite"),
+        ),
+    )
+    layout = BatchLayout(schema=schema, pad=PadSpec(node_cap=32, default_edge_cap=64))
+    em = EdgeStaticMeta.from_layout(layout)
+    batch = synth_batch(layout, np.random.default_rng(1), din=24,
+                        node_fill=0.8, edge_fill=0.7)
+    se = sort_batch(batch, layout, em)
+    return layout, em, batch, se
+
+
+def _params(rng, T, R, Din, Dout, H):
+    dk = Dout // H
+    p = {
+        "wq": rng.normal(size=(T, Din, Dout)).astype(np.float32) * 0.3,
+        "bq": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "wk": rng.normal(size=(T, Din, Dout)).astype(np.float32) * 0.3,
+        "bk": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "wv": rng.normal(size=(T, Din, Dout)).astype(np.float32) * 0.3,
+        "bv": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "rel_pri": (rng.normal(size=(R, H)) + 1).astype(np.float32),
+        "rel_att": rng.normal(size=(R, H, dk, dk)).astype(np.float32) * 0.3,
+        "rel_msg": rng.normal(size=(R, H, dk, dk)).astype(np.float32) * 0.3,
+    }
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def test_seg_csr_primitives():
+    data = jnp.asarray(np.arange(12, dtype=np.float32).reshape(12, 1))
+    ptr = jnp.asarray(np.array([0, 3, 3, 7, 12], dtype=np.int32))
+    ids = jnp.asarray(np.array([0, 0, 0, 2, 2, 2, 2, 3, 3, 3, 3, 3], np.int32))
+    s = np.asarray(seg_sum_csr(data, ptr))
+    np.testing.assert_allclose(s[:, 0], [3, 0, 18, 45])
+    m = np.asarray(seg_max_csr(data, ids, ptr))
+    np.testing.assert_allclose(m[:, 0], [2, -1e30, 6, 11])
+
+
+@pytest.mark.parametrize("use_rte", [True, False])
+def test_sorted_matches_reference_path(env, use_rte):
+    layout, em, batch, se = env
+    T, C = layout.num_types, layout.node_cap
+    Din = Dout = 24
+    H = 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(0)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din)) if use_rte else None
+
+    ref, _ = hgt_conv_core(
+        jnp.asarray(batch.node_feat), jnp.asarray(batch.edge_src),
+        jnp.asarray(batch.edge_tgt), jnp.asarray(batch.edge_dt),
+        jnp.asarray(batch.edge_mask), em,
+        n_heads=H, rte_vec=rte_vec, **P,
+    )
+    out = hgt_conv_core_sorted(
+        jnp.asarray(batch.node_feat), se, em, n_heads=H, rte_vec=rte_vec, **P
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sorted_gradients_match(env):
+    layout, em, batch, se = env
+    T, C = layout.num_types, layout.node_cap
+    Din = Dout = 24
+    H = 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(2)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss_ref(params, x):
+        out, _ = hgt_conv_core(
+            x, jnp.asarray(batch.edge_src), jnp.asarray(batch.edge_tgt),
+            jnp.asarray(batch.edge_dt), jnp.asarray(batch.edge_mask), em,
+            n_heads=H, rte_vec=rte_vec, **params,
+        )
+        return jnp.sum(out * tgt)
+
+    def loss_sorted(params, x):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec, **params
+        )
+        return jnp.sum(out * tgt)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(P, x)
+    g_sort = jax.grad(loss_sorted, argnums=(0, 1))(P, x)
+    np.testing.assert_allclose(
+        np.asarray(g_sort[1]), np.asarray(g_ref[1]), rtol=5e-3, atol=5e-4
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g_sort[0][k]), np.asarray(g_ref[0][k]),
+            rtol=5e-3, atol=5e-4, err_msg=k,
+        )
