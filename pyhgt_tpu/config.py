@@ -1,0 +1,84 @@
+"""Unified experiment configuration.
+
+The reference duplicates ~20 argparse flags across four scripts with
+silently drifted defaults (SURVEY.md §0; e.g. ``prev_norm`` defaults False
+in ``pyHGT/model.py:55`` but True in the OAG copy). Here one dataclass
+holds every knob, and per-task presets pin the reference defaults with
+citations so drift is impossible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # -- data -------------------------------------------------------------
+    data_path: str = ""                # CSRGraph pickle (or reference .pk)
+    model_dir: str = "./model_save"    # --model_dir (train_paper_field.py:15)
+    task_name: str = "paper_field"
+    domain: str = "_CS"                # --domain (train_paper_field.py:17)
+    data_percentage: float = 1.0       # --data_percentage (:55-56)
+
+    # -- model ------------------------------------------------------------
+    conv_name: str = "hgt"             # --conv_name (:26-28)
+    n_hid: int = 400                   # --n_hid (:30-31)
+    n_heads: int = 8                   # --n_heads (:32-33)
+    n_layers: int = 4                  # --n_layers (:34-35)
+    dropout: float = 0.2               # --dropout (:36-37)
+    prev_norm: bool = False            # --prev_norm (ogbn flags :60)
+    last_norm: bool = False            # --last_norm (:61)
+    use_rte: bool = True               # --use_RTE
+    edge_impl: str = "sorted"
+    remat: bool = False
+
+    # -- sampling ---------------------------------------------------------
+    sample_depth: int = 6              # --sample_depth (:38-39)
+    sample_width: int = 128            # --sample_width (:40-41)
+    batch_size: int = 256              # --batch_size (:51-52)
+    n_batch: int = 32                  # --n_batch (:47-48)
+    repeat: int = 2                    # --repeat (:49-50)
+    n_pool: int = 4                    # --n_pool (:45-46)
+    native_sampler: bool = True
+
+    # -- optimization -----------------------------------------------------
+    optimizer: str = "adamw"           # --optimizer (:42-44)
+    scheduler: str = "cosine"          # cosine (OAG) | onecycle (ogbn :128)
+    max_lr: float = 1e-3               # onecycle peak 5e-4 on ogbn (:128)
+    n_epoch: int = 200                 # --n_epoch (:23-24)
+    clip: float = 0.25                 # --clip (:61-62; ogbn uses 1.0 :57)
+    weight_decay: float = 0.01
+
+    # -- eval -------------------------------------------------------------
+    vr_num: int = 8                    # eval_ogbn_mag.py:95
+    seed: int = 43                     # np.random.seed(43) (:179)
+
+    # -- padding (TPU static shapes; no reference analogue) ---------------
+    node_cap: Optional[int] = None     # default: seeds + depth*width
+    edge_cap: Optional[int] = None     # default: calibrated
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-task presets pinning each reference script's defaults.
+PRESETS = {
+    # OAG/train_paper_field.py:9-62
+    "paper_field": ExperimentConfig(task_name="paper_field"),
+    # OAG/train_paper_venue.py (same defaults, NLL head)
+    "paper_venue": ExperimentConfig(task_name="paper_venue"),
+    # OAG/train_author_disambiguation.py (Matcher head)
+    "author_disambiguation": ExperimentConfig(task_name="author_disambiguation"),
+    # ogbn-mag/train_ogbn_mag.py:21-64 + README.md:16-24 reproduction recipe
+    "ogbn_mag": ExperimentConfig(
+        task_name="ogbn_mag",
+        n_hid=512, n_heads=8, n_layers=4,
+        prev_norm=True, last_norm=True, use_rte=True,
+        sample_depth=6, sample_width=520,
+        batch_size=128, n_batch=32, repeat=2,
+        scheduler="onecycle", max_lr=5e-4, clip=1.0,
+        n_epoch=100,
+    ),
+}

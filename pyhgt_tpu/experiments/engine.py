@@ -1,0 +1,465 @@
+"""Shared experiment engine: task assembly, epoch loop, evaluation.
+
+Epoch-loop parity (``/root/reference/OAG/train_paper_field.py:218-327``):
+per epoch, ``n_batch`` training batches (each trained on ``repeat`` times)
+plus one validation batch; NDCG on valid gates best-model checkpointing;
+after training, the test set is resampled multiple times and NDCG/MRR are
+averaged. Sampling overlaps training through the PrefetchLoader instead of
+the reference's mp.Pool double buffer (``:214-231``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyhgt_tpu.config import ExperimentConfig
+from pyhgt_tpu.graph.csr import CSRGraph
+from pyhgt_tpu.graph.schema import PadSpec
+from pyhgt_tpu.models import LinkMatcherModel, NodeClassifierModel
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.sampling.batch import BatchLayout
+from pyhgt_tpu.sampling.hgsampler import HGSampler
+from pyhgt_tpu.sampling.sorted_batch import sort_batch
+from pyhgt_tpu.tasks import (
+    LinkPredictionTask,
+    NodeClassificationTask,
+    OgbnNodeTask,
+    TimeSplit,
+    build_time_split_pairs,
+    multi_sample_eval,
+)
+from pyhgt_tpu.tasks.base import subsample_pairs
+from pyhgt_tpu.tasks.link_prediction import (
+    build_link_pairs,
+    build_name_groups,
+    make_link_loss_fn,
+)
+from pyhgt_tpu.train.checkpoint import BestCheckpointPolicy
+from pyhgt_tpu.train.loader import PrefetchLoader
+from pyhgt_tpu.train.metrics import ranking_metrics
+from pyhgt_tpu.train.optim import cosine_schedule, make_optimizer, onecycle_schedule
+from pyhgt_tpu.train.step import TrainState, make_train_step
+
+# reference temporal split: train<2015 / 2015<=valid<=2016 / test>2016
+# (OAG/train_paper_field.py:74-76)
+OAG_SPLITS = {
+    "train": TimeSplit(hi=2014),
+    "valid": TimeSplit(lo=2015, hi=2016),
+    "test": TimeSplit(lo=2017),
+}
+
+
+def make_sampler(cfg: ExperimentConfig, graph: CSRGraph):
+    if cfg.native_sampler:
+        try:
+            from pyhgt_tpu.sampling.native import NativeHGSampler
+
+            return NativeHGSampler(
+                graph, depth=cfg.sample_depth, width=cfg.sample_width
+            )
+        except Exception:
+            pass  # fall back to the numpy sampler (e.g. no g++)
+    return HGSampler(graph, depth=cfg.sample_depth, width=cfg.sample_width)
+
+
+def make_layout(cfg: ExperimentConfig, graph: CSRGraph) -> BatchLayout:
+    node_cap = cfg.node_cap or (
+        cfg.batch_size + cfg.sample_depth * cfg.sample_width
+    )
+    edge_cap = cfg.edge_cap or node_cap * 8
+    pad = PadSpec.for_sampler(
+        num_seeds=cfg.batch_size,
+        depth=cfg.sample_depth,
+        width=cfg.sample_width,
+        schema=graph.schema,
+        default_edge_cap=edge_cap,
+    )
+    if cfg.node_cap:
+        pad = dataclasses.replace(pad, node_cap=cfg.node_cap)
+    return BatchLayout(schema=graph.schema, pad=pad)
+
+
+def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
+    return dict(
+        in_dim=in_dim,
+        n_hid=cfg.n_hid,
+        num_types=layout.num_types,
+        num_relations=layout.schema.num_relations,
+        n_heads=cfg.n_heads,
+        n_layers=cfg.n_layers,
+        dropout=cfg.dropout,
+        conv_name=cfg.conv_name,
+        prev_norm=cfg.prev_norm,
+        last_norm=cfg.last_norm,
+        use_rte=cfg.use_rte,
+        remat=cfg.remat,
+        edge_impl=cfg.edge_impl,
+    )
+
+
+def make_tx(cfg: ExperimentConfig, params, steps_per_epoch: int):
+    if cfg.scheduler == "onecycle":
+        sched = onecycle_schedule(
+            max_lr=cfg.max_lr, total_steps=max(cfg.n_epoch * steps_per_epoch, 1)
+        )
+    else:
+        sched = cosine_schedule(cfg.max_lr, period=1000)
+    return make_optimizer(
+        sched, weight_decay=cfg.weight_decay, clip_norm=cfg.clip, params=params
+    )
+
+
+def _infer_in_dim(task_batch) -> int:
+    return int(task_batch.sub.node_feat.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+def run_node_classification(
+    cfg: ExperimentConfig,
+    graph: CSRGraph,
+    label_meta,
+    target_type: str = "paper",
+    multi_label: bool = True,
+    splits: Optional[Dict[str, TimeSplit]] = None,
+    feature_fn: Optional[Callable] = None,
+    log: Callable[[str], None] = print,
+) -> Dict:
+    """paper-field / paper-venue training + test (scripts #16/#17)."""
+    splits = splits or OAG_SPLITS
+    sampler = make_sampler(cfg, graph)
+    layout = make_layout(cfg, graph)
+    em = EdgeStaticMeta.from_layout(layout)
+    task = NodeClassificationTask(
+        graph=graph, sampler=sampler, layout=layout,
+        target_type=target_type, label_meta=label_meta,
+        batch_size=cfg.batch_size, multi_label=multi_label,
+        feature_fn=feature_fn,
+    )
+    # pairs keyed off the target-indexed reverse relation
+    pairs = build_time_split_pairs(graph, task.rev_label_meta, splits)
+    np.random.seed(cfg.seed)  # reference's fixed subsample seed (:179)
+    train_pairs = subsample_pairs(pairs["train"], cfg.data_percentage, cfg.seed)
+    valid_pairs = subsample_pairs(pairs["valid"], cfg.data_percentage, cfg.seed)
+    test_pairs = pairs["test"]
+
+    model = NodeClassifierModel(
+        gnn_kwargs=gnn_kwargs(cfg, layout, _probe_in_dim(task, train_pairs, splits)),
+        n_classes=task.n_classes,
+        target_type_id=layout.schema.type_id(target_type),
+        head_mode="seeds",
+        n_seed=cfg.batch_size,
+    )
+
+    def to_args(tb):
+        se = sort_batch(tb.sub, layout, em)
+        return tb.batch_args + (se,), tb
+
+    rng0 = np.random.default_rng(cfg.seed)
+    tb0 = task.sample(train_pairs, splits["train"], rng0)
+    args0, _ = to_args(tb0)
+    params = model.init(jax.random.key(cfg.seed), *args0[:-1], em, se=args0[-1])
+    tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, se, labels, lmask):
+        logp = model.apply(
+            params, nf, es, et, dt, emk, nmk, em, se=se,
+            deterministic=False, rngs={"dropout": rng},
+        )
+        from pyhgt_tpu.train.step import kl_div_loss, nll_loss
+
+        return (
+            kl_div_loss(logp, labels, mask=lmask)
+            if multi_label else nll_loss(logp, labels, mask=lmask)
+        )
+
+    step = make_train_step(loss_fn, tx)
+    fwd = jax.jit(
+        lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
+            p, nf, es, et, dt, emk, nmk, em, se=se
+        )
+    )
+
+    def eval_metrics(state, pairs_, split_, rng):
+        tb = task.sample(pairs_, split_, rng)
+        args, _ = to_args(tb)
+        logp = np.asarray(fwd(state.params, *args))
+        live = tb.label_mask
+        if multi_label:
+            rel = (np.asarray(tb.labels) > 0).astype(np.float64)
+        else:
+            rel = np.zeros((len(live), task.n_classes))
+            rel[np.arange(len(live)), np.asarray(tb.labels)] = 1
+        return ranking_metrics(logp[live], rel[live])
+
+    ckpt = BestCheckpointPolicy(
+        os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
+    )
+    sample_fn = task.make_sample_fn(train_pairs, splits["train"])
+    history = []
+    with PrefetchLoader(
+        sample_fn, n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed
+    ) as loader:
+        it = iter(loader)
+        rng_eval = np.random.default_rng(cfg.seed + 1)
+        for epoch in range(cfg.n_epoch):
+            t0 = time.time()
+            losses = []
+            for b in range(cfg.n_batch * cfg.repeat):
+                tb = next(it)
+                se = sort_batch(tb.sub, layout, em)
+                state, loss = step(
+                    state, jax.random.key(epoch * 10000 + b),
+                    *tb.batch_args, se, tb.labels, tb.label_mask,
+                )
+                losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in losses]))
+            ndcg, mrr = eval_metrics(state, valid_pairs, splits["valid"], rng_eval)
+            best = ckpt.update(ndcg, state)
+            history.append(dict(epoch=epoch, loss=train_loss, valid_ndcg=ndcg,
+                                valid_mrr=mrr, best=best, secs=time.time() - t0))
+            log(f"epoch {epoch}: loss {train_loss:.4f} valid NDCG {ndcg:.4f} "
+                f"MRR {mrr:.4f}{' *' if best else ''} ({history[-1]['secs']:.1f}s)")
+
+    # test: average metrics over resampled test batches (:295-327 does 10)
+    rng_t = np.random.default_rng(cfg.seed + 2)
+    tests = [eval_metrics(state, test_pairs, splits["test"], rng_t)
+             for _ in range(10)]
+    test_ndcg = float(np.mean([t[0] for t in tests]))
+    test_mrr = float(np.mean([t[1] for t in tests]))
+    log(f"test NDCG {test_ndcg:.4f} MRR {test_mrr:.4f}")
+    return dict(history=history, test_ndcg=test_ndcg, test_mrr=test_mrr,
+                best_valid=ckpt.best, state=state)
+
+
+def _probe_in_dim(task, pairs, splits) -> int:
+    tb = task.sample(pairs, splits["train"], np.random.default_rng(0))
+    return _infer_in_dim(tb)
+
+
+# ---------------------------------------------------------------------------
+def run_ogbn(
+    cfg: ExperimentConfig,
+    graph: CSRGraph,
+    log: Callable[[str], None] = print,
+    eval_mode: str = "variance_reduce",
+    max_eval_nodes: Optional[int] = None,
+) -> Dict:
+    """ogbn-mag training + VR/sequential eval (scripts #19/#20)."""
+    sampler = make_sampler(cfg, graph)
+    layout = make_layout(cfg, graph)
+    em = EdgeStaticMeta.from_layout(layout)
+    task = OgbnNodeTask(
+        graph=graph, sampler=sampler, layout=layout, batch_size=cfg.batch_size
+    )
+    rng0 = np.random.default_rng(cfg.seed)
+    tb0 = task.sample(np.arange(min(cfg.batch_size, 4)), rng0)
+    model = NodeClassifierModel(
+        gnn_kwargs=gnn_kwargs(cfg, layout, _infer_in_dim(tb0)),
+        n_classes=task.n_classes,
+        target_type_id=layout.schema.type_id(task.target_type),
+        head_mode="full",
+    )
+    se0 = sort_batch(tb0.sub, layout, em)
+    params = model.init(jax.random.key(cfg.seed), *tb0.batch_args, em, se=se0)
+    tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, se, labels, lmask):
+        from pyhgt_tpu.train.step import nll_loss
+
+        logp = model.apply(
+            params, nf, es, et, dt, emk, nmk, em, se=se,
+            deterministic=False, rngs={"dropout": rng},
+        )
+        return nll_loss(logp, labels, mask=lmask)
+
+    step = make_train_step(loss_fn, tx)
+    fwd = jax.jit(
+        lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
+            p, nf, es, et, dt, emk, nmk, em, se=se
+        )
+    )
+
+    ckpt = BestCheckpointPolicy(
+        os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
+    )
+    history = []
+    with PrefetchLoader(
+        task.make_sample_fn("train"), n_workers=cfg.n_pool,
+        repeat=cfg.repeat, seed=cfg.seed,
+    ) as loader:
+        it = iter(loader)
+        rng_eval = np.random.default_rng(cfg.seed + 1)
+        for epoch in range(cfg.n_epoch):
+            t0 = time.time()
+            losses = []
+            for b in range(cfg.n_batch * cfg.repeat):
+                tb = next(it)
+                se = sort_batch(tb.sub, layout, em)
+                state, loss = step(
+                    state, jax.random.key(epoch * 10000 + b),
+                    *tb.batch_args, se, tb.labels, tb.label_mask,
+                )
+                losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in losses]))
+            # valid accuracy on a few sampled batches
+            accs = []
+            for _ in range(4):
+                vtb = task.sample(
+                    rng_eval.choice(np.where(task.masks["valid"])[0],
+                                    cfg.batch_size, replace=False),
+                    rng_eval, split="valid",
+                )
+                vse = sort_batch(vtb.sub, layout, em)
+                logp = np.asarray(fwd(state.params, *vtb.batch_args, vse))
+                accs.append(task.accuracy(logp, np.asarray(vtb.labels),
+                                          np.asarray(vtb.label_mask)))
+            vacc = float(np.mean(accs))
+            best = ckpt.update(vacc, state)
+            history.append(dict(epoch=epoch, loss=train_loss, valid_acc=vacc,
+                                best=best, secs=time.time() - t0))
+            log(f"epoch {epoch}: loss {train_loss:.4f} valid acc {vacc:.4f}"
+                f"{' *' if best else ''} ({history[-1]['secs']:.1f}s)")
+
+    # final multi-sample eval (eval_ogbn_mag.py:128-179)
+    def eval_forward(params, *bargs):
+        nf, es, et, dt, emk, nmk = bargs
+        # rebuild a SubgraphBatch view for sorting
+        from pyhgt_tpu.sampling.batch import SubgraphBatch
+
+        sub = SubgraphBatch(
+            node_feat=nf, node_time=np.zeros_like(nmk, dtype=np.int32),
+            node_mask=nmk, edge_src=es, edge_tgt=et, edge_dt=dt,
+            edge_mask=emk, block_overflow=np.zeros(1, np.int32),
+        )
+        se = sort_batch(sub, layout, em)
+        return fwd(params, *bargs, se)
+
+    vr = multi_sample_eval(
+        eval_forward, state.params, task, split="test",
+        batch_size=cfg.batch_size,
+        vr_num=cfg.vr_num if eval_mode == "variance_reduce" else 1,
+        rng=np.random.default_rng(cfg.seed + 3),
+        max_nodes=max_eval_nodes,
+    )
+    log(f"test acc ({eval_mode}): {vr['acc']:.4f} "
+        f"(single-sample {vr['single_sample_acc']:.4f}, n={vr['n_eval']})")
+    return dict(history=history, test=vr, best_valid=ckpt.best, state=state)
+
+
+# ---------------------------------------------------------------------------
+def run_author_disambiguation(
+    cfg: ExperimentConfig,
+    graph: CSRGraph,
+    splits: Optional[Dict[str, TimeSplit]] = None,
+    first_meta=("author", "paper", "rev_AP_write_first"),
+    write_meta=("paper", "author", "AP_write_first"),
+    max_group: int = 32,
+    log: Callable[[str], None] = print,
+) -> Dict:
+    """Author disambiguation via grouped link prediction (script #18)."""
+    splits = splits or OAG_SPLITS
+    sampler = make_sampler(cfg, graph)
+    layout = make_layout(cfg, graph)
+    em = EdgeStaticMeta.from_layout(layout)
+    groups = build_name_groups(graph, first_meta)
+    pairs = build_link_pairs(graph, groups, splits, first_meta)
+    task = LinkPredictionTask(
+        graph=graph, sampler=sampler, layout=layout, groups=groups,
+        write_meta=write_meta, batch_size=cfg.batch_size, max_group=max_group,
+    )
+    rng0 = np.random.default_rng(cfg.seed)
+    tb0 = task.sample(pairs["train"], splits["train"], rng0)
+    model = LinkMatcherModel(
+        gnn_kwargs=gnn_kwargs(cfg, layout, _infer_in_dim(tb0)),
+        n_hid=cfg.n_hid,
+        query_type_id=layout.schema.type_id(task.paper_type),
+        n_query=cfg.batch_size,
+    )
+    se0 = sort_batch(tb0.sub, layout, em)
+    params = model.init(
+        jax.random.key(cfg.seed), *tb0.batch_args, em, tb0.cand_idx, se=se0,
+        method=LinkMatcherModel.score_pairs,
+    )
+    tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, se, ci, cm, qm):
+        scores = model.apply(
+            params, nf, es, et, dt, emk, nmk, em, ci, se=se,
+            deterministic=False, rngs={"dropout": rng},
+            method=LinkMatcherModel.score_pairs,
+        )
+        s = jnp.where(cm, scores, -1e30)
+        lse = jax.scipy.special.logsumexp(s, axis=-1)
+        gsize = jnp.maximum(jnp.sum(cm, axis=-1), 2)
+        per_q = -(s[:, 0] - lse) / jnp.log(gsize.astype(jnp.float32))
+        per_q = per_q * qm
+        return jnp.sum(per_q) / jnp.maximum(jnp.sum(qm), 1)
+
+    step = make_train_step(loss_fn, tx)
+    score_fn = jax.jit(
+        lambda p, nf, es, et, dt, emk, nmk, ci, se: model.apply(
+            p, nf, es, et, dt, emk, nmk, em, ci, se=se,
+            method=LinkMatcherModel.score_pairs,
+        )
+    )
+
+    def eval_metrics(state, pairs_, split_, rng):
+        tb = task.sample(pairs_, split_, rng)
+        se = sort_batch(tb.sub, layout, em)
+        scores = np.asarray(
+            score_fn(state.params, *tb.batch_args, tb.cand_idx, se)
+        )
+        live = tb.query_mask
+        rel = np.zeros_like(scores)
+        rel[:, 0] = 1.0
+        scores = np.where(tb.cand_mask, scores, -np.inf)
+        return ranking_metrics(scores[live], rel[live])
+
+    ckpt = BestCheckpointPolicy(
+        os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
+    )
+    history = []
+    with PrefetchLoader(
+        task.make_sample_fn(pairs["train"], splits["train"]),
+        n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
+    ) as loader:
+        it = iter(loader)
+        rng_eval = np.random.default_rng(cfg.seed + 1)
+        for epoch in range(cfg.n_epoch):
+            t0 = time.time()
+            losses = []
+            for b in range(cfg.n_batch * cfg.repeat):
+                tb = next(it)
+                se = sort_batch(tb.sub, layout, em)
+                state, loss = step(
+                    state, jax.random.key(epoch * 10000 + b),
+                    *tb.batch_args, se, tb.cand_idx, tb.cand_mask,
+                    tb.query_mask.astype(np.float32),
+                )
+                losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in losses]))
+            ndcg, mrr = eval_metrics(state, pairs["valid"], splits["valid"], rng_eval)
+            best = ckpt.update(ndcg, state)
+            history.append(dict(epoch=epoch, loss=train_loss, valid_ndcg=ndcg,
+                                valid_mrr=mrr, best=best, secs=time.time() - t0))
+            log(f"epoch {epoch}: loss {train_loss:.4f} valid NDCG {ndcg:.4f} "
+                f"MRR {mrr:.4f}{' *' if best else ''}")
+
+    rng_t = np.random.default_rng(cfg.seed + 2)
+    tests = [eval_metrics(state, pairs["test"], splits["test"], rng_t)
+             for _ in range(10)]
+    test_ndcg = float(np.mean([t[0] for t in tests]))
+    test_mrr = float(np.mean([t[1] for t in tests]))
+    log(f"test NDCG {test_ndcg:.4f} MRR {test_mrr:.4f}")
+    return dict(history=history, test_ndcg=test_ndcg, test_mrr=test_mrr,
+                best_valid=ckpt.best, state=state)

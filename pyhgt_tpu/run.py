@@ -1,0 +1,91 @@
+"""CLI — ``python -m pyhgt_tpu.run <task> --data <graph.pk> [flags]``.
+
+One entry point replacing the reference's four scripts; flag names follow
+the reference argparse surface (``/root/reference/OAG/train_paper_field.py
+:9-62``, ``ogbn-mag/train_ogbn_mag.py:21-64``) so recipes translate 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from pyhgt_tpu.config import PRESETS, ExperimentConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pyhgt_tpu.run", description=__doc__)
+    p.add_argument("task", choices=list(PRESETS.keys()))
+    p.add_argument("--data", dest="data_path", required=True,
+                   help="CSRGraph pickle, or a reference .pk (auto-converted)")
+    ref = ExperimentConfig()
+    for f in dataclasses.fields(ExperimentConfig):
+        if f.name in ("data_path", "task_name"):
+            continue
+        arg = "--" + f.name
+        if f.type == "bool" or isinstance(getattr(ref, f.name), bool):
+            p.add_argument(arg, action=argparse.BooleanOptionalAction,
+                           default=None)
+        else:
+            p.add_argument(arg, type=type(getattr(ref, f.name))
+                           if getattr(ref, f.name) is not None else int,
+                           default=None)
+    # reference-compatible aliases
+    p.add_argument("--use_RTE", dest="use_rte",
+                   action=argparse.BooleanOptionalAction, default=None)
+    return p
+
+
+def load_graph(path: str):
+    from pyhgt_tpu.graph.csr import CSRGraph
+
+    try:
+        return CSRGraph.load(path)
+    except Exception:
+        from pyhgt_tpu.datasets.convert import convert_reference_pickle
+
+        return convert_reference_pickle(path)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = PRESETS[args.task]
+    overrides = {
+        k: v for k, v in vars(args).items()
+        if k not in ("task",) and v is not None
+        and k in {f.name for f in dataclasses.fields(ExperimentConfig)}
+    }
+    cfg = cfg.replace(**overrides)
+
+    from pyhgt_tpu.utils.experiment import args_print
+
+    args_print(dataclasses.asdict(cfg))
+    graph = load_graph(cfg.data_path)
+
+    from pyhgt_tpu.experiments import (
+        run_author_disambiguation,
+        run_node_classification,
+        run_ogbn,
+    )
+    from pyhgt_tpu.datasets.features import feature_oag
+
+    if args.task == "paper_field":
+        run_node_classification(
+            cfg, graph, label_meta=("field", "paper", "PF_in_L2"),
+            multi_label=True, feature_fn=feature_oag,
+        )
+    elif args.task == "paper_venue":
+        run_node_classification(
+            cfg, graph, label_meta=("venue", "paper", "PV_Journal"),
+            multi_label=False, feature_fn=feature_oag,
+        )
+    elif args.task == "author_disambiguation":
+        run_author_disambiguation(cfg, graph)
+    elif args.task == "ogbn_mag":
+        run_ogbn(cfg, graph)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
