@@ -1,0 +1,112 @@
+"""SPMD tests on the 8-device virtual CPU mesh (SURVEY.md §4 item 4):
+sharded execution must match single-device results exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
+from pyhgt_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicate,
+)
+from pyhgt_tpu.train.optim import make_optimizer
+from pyhgt_tpu.train.step import TrainState, make_train_step
+
+
+@pytest.fixture(scope="module")
+def env():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    fl = build_flagship("dryrun")
+    batches, labels, ses = [], [], []
+    for i in range(4):
+        b, y = synth_flagship_batch(fl, seed=i)
+        batches.append(b)
+        labels.append(y)
+        ses.append(fl.sort(b))
+    stack = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    se_stack = jax.tree.map(lambda *xs: np.stack(xs), *ses)
+    y = np.stack(labels)
+    params = fl.init_params(jax.random.key(0), batches[0], ses[0])
+    return fl, stack, se_stack, y, params
+
+
+def _loss_value(fl, params, stack, se_stack, y, mesh=None, n_model=1):
+    loss_fn = fl.loss_fn()
+    rng = jax.random.key(7)
+    if mesh is None:
+        return float(loss_fn(params, rng, *fl.batch_args(stack), se_stack, y))
+    with mesh:
+        p = jax.device_put(params, param_shardings(params, mesh))
+        bs = batch_sharding(mesh)
+        args = tuple(jax.device_put(a, bs) for a in fl.batch_args(stack))
+        se_d = jax.device_put(se_stack, bs)
+        yd = jax.device_put(y, bs)
+        rngd = jax.device_put(rng, replicate(mesh))
+        return float(jax.jit(loss_fn)(p, rngd, *args, se_d, yd))
+
+
+def test_dp_loss_matches_single_device(env):
+    fl, stack, se_stack, y, params = env
+    single = _loss_value(fl, params, stack, se_stack, y)
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    sharded = _loss_value(fl, params, stack, se_stack, y, mesh)
+    assert single == pytest.approx(sharded, rel=1e-5)
+
+
+def test_dp_tp_loss_matches_single_device(env):
+    fl, stack, se_stack, y, params = env
+    single = _loss_value(fl, params, stack, se_stack, y)
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    sharded = _loss_value(fl, params, stack, se_stack, y, mesh)
+    assert single == pytest.approx(sharded, rel=1e-5)
+
+
+def test_dp_tp_train_step_matches(env):
+    """One full train step under dp×tp == single-device step (params close)."""
+    fl, stack, se_stack, y, params = env
+    tx = make_optimizer(1e-2, weight_decay=0.0, clip_norm=0.25, params=params)
+    loss_fn = fl.loss_fn()
+    rng = jax.random.key(3)
+
+    # single device
+    state0 = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx, donate=False)
+    s1, l1 = step(state0, rng, *fl.batch_args(stack), se_stack, y)
+
+    # dp x tp
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    with mesh:
+        ps = param_shardings(params, mesh)
+        state = TrainState.create(jax.device_put(params, ps), tx)
+        bs = batch_sharding(mesh)
+        args = tuple(jax.device_put(a, bs) for a in fl.batch_args(stack))
+        se_d = jax.device_put(se_stack, bs)
+        yd = jax.device_put(y, bs)
+        s2, l2 = step(state, jax.device_put(rng, replicate(mesh)), *args, se_d, yd)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_param_sharding_rules(env):
+    fl, *_ , params = env
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    shardings = param_shardings(params, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    got = {}
+    for path, s in flat:
+        name = [p.key for p in path if hasattr(p, "key")][-1]
+        got.setdefault(name, s.spec)
+    assert got["wq"] == P(None, None, "model")
+    assert got["rel_att"] == P(None, "model", None, None)
+    assert got["wa"] == P(None, "model", None)
+    assert got["skip"] == P()
+    assert got["ln_scale"] == P()

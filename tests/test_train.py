@@ -152,3 +152,29 @@ def test_best_checkpoint_policy(tmp_path):
     assert pol.update(0.9, {"w": jnp.full((2,), 9.0)})
     restored = load_checkpoint(path, {"w": jnp.zeros(2)})
     np.testing.assert_array_equal(np.asarray(restored["w"]), 9.0)
+
+
+# ------------------------------------------------------------- observability
+def test_metrics_logger(tmp_path):
+    import json as _json
+
+    from pyhgt_tpu.train.log import MetricsLogger, throughput
+
+    p = str(tmp_path / "m.jsonl")
+    with MetricsLogger(p) as m:
+        m.log("step", loss=1.5, **throughput(1000, 4, 0.01))
+        m.log("epoch", ndcg=0.4)
+    lines = [_json.loads(l) for l in open(p)]
+    assert lines[0]["event"] == "step"
+    assert lines[0]["edges_per_s"] == pytest.approx(400000.0)
+    assert lines[1]["ndcg"] == 0.4
+
+
+def test_debug_nans_toggle():
+    import jax as _jax
+
+    from pyhgt_tpu.train.log import debug_nans
+
+    with debug_nans(True):
+        assert _jax.config.jax_debug_nans
+    assert not _jax.config.jax_debug_nans
