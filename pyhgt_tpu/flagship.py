@@ -57,6 +57,7 @@ class FlagshipConfig:
     n_seed: int
     dropout: float = 0.2
     remat: bool = False
+    save_kv: bool = False
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
 
 
@@ -75,7 +76,9 @@ PRESETS: Dict[str, FlagshipConfig] = {
     # -> ~3248 nodes/type; 4x512x8 model)
     "bench": FlagshipConfig(
         node_cap=3328, edge_cap=26624, in_dim=512, n_hid=512,
-        n_heads=8, n_layers=4, n_classes=349, n_seed=128, remat=True,
+        n_heads=8, n_layers=4, n_classes=349, n_seed=128,
+        remat=False, save_kv=True,  # custom-VJP residuals are node-level;
+        # saving per-edge K/V/Q removes 3 backward HBM gathers per layer
     ),
 }
 
@@ -105,6 +108,7 @@ class FlagshipModel(nn.Module):
             use_rte=True,
             remat=c.remat,
             edge_impl=c.edge_impl,
+            save_kv=c.save_kv,
         )
         self.clf = Classifier(n_out=c.n_classes)
 

@@ -66,6 +66,7 @@ class HGTConv(nn.Module):
     use_rte: bool = True
     remat: bool = False   # jax.checkpoint the attention core (backward remat)
     edge_impl: str = "segment"  # 'segment' (jnp scatter) | 'sorted' (scatter-free)
+    save_kv: bool = False  # sorted path: keep per-edge K/V/Q for the backward
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -123,12 +124,14 @@ class HGTConv(nn.Module):
             if se is None:
                 raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
+            save_kv = self.save_kv
+
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
                     x_, se_, em,
                     wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
-                    n_heads=n_heads, rte_vec=rv,
+                    n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                 )
 
             if self.remat:
@@ -179,6 +182,7 @@ class DenseHGTConv(nn.Module):
     use_rte: bool = True
     remat: bool = False
     edge_impl: str = "segment"
+    save_kv: bool = False
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -232,12 +236,14 @@ class DenseHGTConv(nn.Module):
             if se is None:
                 raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
+            save_kv = self.save_kv
+
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
                     x_, se_, em,
                     wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
-                    n_heads=n_heads, rte_vec=rv,
+                    n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                 )
 
             if self.remat:
@@ -355,6 +361,7 @@ class GeneralConv(nn.Module):
     use_rte: bool = True
     remat: bool = False
     edge_impl: str = "segment"
+    save_kv: bool = False
 
     def setup(self):
         kw = dict(in_dim=self.in_dim, out_dim=self.out_dim)
@@ -368,6 +375,7 @@ class GeneralConv(nn.Module):
             use_rte=self.use_rte,
             remat=self.remat,
             edge_impl=self.edge_impl,
+            save_kv=self.save_kv,
         )
         if self.conv_name == "hgt":
             self.base_conv = HGTConv(**hkw)

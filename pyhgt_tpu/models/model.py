@@ -38,6 +38,7 @@ class GNN(nn.Module):
     use_rte: bool = True
     remat: bool = False
     edge_impl: str = "segment"
+    save_kv: bool = False
 
     def setup(self):
         self.adapt_w = self.param(
@@ -64,6 +65,7 @@ class GNN(nn.Module):
                     use_rte=self.use_rte,
                     remat=self.remat,
                     edge_impl=self.edge_impl,
+                    save_kv=self.save_kv,
                 )
             )
         self.convs = convs

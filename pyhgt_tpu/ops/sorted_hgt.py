@@ -154,15 +154,17 @@ def hgt_edge_stage(
     k_tab,      # [Gt, D] RTE K tables, Gt = B*L (dummy zeros if RTE off)
     v_tab,      # [Gt, D]
     pri_e,      # [E, H]  per-edge relation prior (from one-hot matmul)
-    dims: Tuple[int, int, bool],  # (H, dk, use_rte) — static
+    dims: Tuple[int, int, bool, bool],  # (H, dk, use_rte, save_kv) — static.
+    # save_kv=True keeps the gathered per-edge K/V/Q in residuals (~3 E*D
+    # buffers) so the backward skips 3 HBM gathers; False recomputes them.
     edge_tgt, gidx, tabidx, mask_f,   # int32/int32/int32/f32 [E]
     seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
 ):
-    aggr, _ = _edge_fwd_impl(
+    aggr = _edge_fwd_impl(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
         edge_tgt, gidx, tabidx, mask_f,
         seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
-    )
+    )[0]
     return aggr
 
 
@@ -171,7 +173,7 @@ def _edge_fwd_impl(
     edge_tgt, gidx, tabidx, mask_f,
     seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
 ):
-    H, dk, use_rte = dims
+    H, dk, use_rte = dims[0], dims[1], dims[2]
     D = q_n.shape[-1]
     E = edge_tgt.shape[0]
     mask = mask_f > 0
@@ -181,35 +183,39 @@ def _edge_fwd_impl(
     w = _softmax_sorted(att, edge_tgt, seg_ptr_tgt, mask)   # [E, H]
     msg = (w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)).reshape(E, D)
     aggr = seg_sum_csr(msg, seg_ptr_tgt)                    # [N, D]
-    return aggr, w
+    return aggr, w, k_e, v_e, q_e
 
 
 def _edge_fwd(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
               edge_tgt, gidx, tabidx, mask_f,
               seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab):
-    aggr, w = _edge_fwd_impl(
+    save_kv = len(dims) > 3 and dims[3]
+    aggr, w, k_e, v_e, q_e = _edge_fwd_impl(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
         edge_tgt, gidx, tabidx, mask_f,
         seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
     )
-    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w,
+    kvq = (k_e, v_e, q_e) if save_kv else None
+    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq,
            edge_tgt, gidx, tabidx, mask_f,
            seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab)
     return aggr, res
 
 
 def _edge_bwd(dims, res, g_aggr):
-    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w,
+    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq,
      edge_tgt, gidx, tabidx, mask_f,
      seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab) = res
-    H, dk, use_rte = dims
+    H, dk, use_rte = dims[0], dims[1], dims[2]
     D = q_n.shape[-1]
     E = edge_tgt.shape[0]
     mask = mask_f > 0
 
-    # recompute cheap per-edge tensors (gathers) instead of saving them
-    k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte)
-    q_e = q_n[edge_tgt]
+    if kvq is not None:
+        k_e, v_e, q_e = kvq            # saved: no backward re-gathers
+    else:
+        k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte)
+        q_e = q_n[edge_tgt]
     pre, _att = _attention(q_e, k_e, pri_e, mask, H, dk)   # pre = att / pri
 
     g_aggr = g_aggr.astype(jnp.float32)
@@ -267,9 +273,11 @@ def hgt_conv_core_sorted(
     rel_pri, rel_att, rel_msg,
     n_heads: int,
     rte_vec=None,      # [L, Din] or None
+    save_kv: bool = False,
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
-    target-sorted layout — scatter-free forward and backward."""
+    target-sorted layout — scatter-free forward and backward. ``save_kv``
+    trades ~3 E×D residual buffers for 3 fewer backward HBM gathers."""
     from pyhgt_tpu.ops.hgt import (
         _block_relation_transform,
         _rte_block_tables,
@@ -306,9 +314,24 @@ def hgt_conv_core_sorted(
 
     aggr = hgt_edge_stage(
         q.reshape(N, Dout), k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte),
+        (H, dk, use_rte, save_kv),
         se.edge_tgt, se.gidx, tabidx, mask_f,
         se.seg_ptr_tgt, se.perm_src, se.seg_ptr_src,
         se.perm_tab, se.seg_ptr_tab,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
+
+
+def hgt_edge_attention(
+    q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
+    edge_tgt, gidx, tabidx, mask_f,
+    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+):
+    """Return the [E, H] softmax attention weights (the reference stashes
+    them on the module for visualization, ``pyHGT/conv.py:106-108``)."""
+    out = _edge_fwd_impl(
+        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
+        edge_tgt, gidx, tabidx, mask_f,
+        seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+    )
+    return out[1]

@@ -1,0 +1,108 @@
+"""Edge-partitioned (graph-axis) HGT == single-device results, values and
+gradients — SURVEY.md §7 stage 8 correctness on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.ops.rte import rte_sin_table
+from pyhgt_tpu.ops.sorted_hgt import hgt_conv_core_sorted
+from pyhgt_tpu.parallel.edge_partition import (
+    hgt_conv_core_partitioned,
+    partition_sorted,
+)
+from pyhgt_tpu.sampling.batch import BatchLayout
+from pyhgt_tpu.sampling.sorted_batch import sort_batch
+from pyhgt_tpu.utils.synth import synth_batch
+from tests.test_sorted_ops import _params
+
+
+@pytest.fixture(scope="module")
+def env():
+    schema = GraphSchema(
+        node_types=("paper", "author"),
+        metas=(
+            MetaRelation("paper", "author", "AP_write"),
+            MetaRelation("author", "paper", "rev_AP_write"),
+            MetaRelation("paper", "paper", "PP_cite"),
+        ),
+    )
+    layout = BatchLayout(schema=schema, pad=PadSpec(node_cap=32, default_edge_cap=64))
+    em = EdgeStaticMeta.from_layout(layout)
+    batch = synth_batch(layout, np.random.default_rng(3), din=24,
+                        node_fill=0.8, edge_fill=0.7)
+    se = sort_batch(batch, layout, em)
+    n_parts = 4
+    pe = partition_sorted(
+        se, n_parts, num_blocks=len(layout.blocks),
+        node_cap=layout.node_cap,
+        num_nodes_flat=layout.num_types * layout.node_cap,
+    )
+    P_ = _params(np.random.default_rng(0), 2, schema.num_relations, 24, 24, 4)
+    mesh = Mesh(np.asarray(jax.devices()[:n_parts]), ("graph",))
+    return layout, em, batch, se, pe, P_, mesh
+
+
+def _partitioned_fn(layout, em, mesh, use_rte):
+    rte_vec = jnp.asarray(rte_sin_table(24)) if use_rte else None
+
+    def inner(x, pe_local, params):
+        pe1 = jax.tree.map(lambda a: a[0], pe_local)  # drop the size-1 shard dim
+        return hgt_conv_core_partitioned(
+            x, pe1, em, n_heads=4, rte_vec=rte_vec, axis_name="graph", **params
+        )
+
+    return shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(), P("graph"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+
+@pytest.mark.parametrize("use_rte", [True, False])
+def test_partitioned_matches_single(env, use_rte):
+    layout, em, batch, se, pe, P_, mesh = env
+    x = jnp.asarray(batch.node_feat)
+    rte_vec = jnp.asarray(rte_sin_table(24)) if use_rte else None
+    ref = hgt_conv_core_sorted(x, se, em, n_heads=4, rte_vec=rte_vec, **P_)
+    f = _partitioned_fn(layout, em, mesh, use_rte)
+    out = f(x, pe, P_)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_partitioned_gradients_match(env):
+    layout, em, batch, se, pe, P_, mesh = env
+    x = jnp.asarray(batch.node_feat)
+    rte_vec = jnp.asarray(rte_sin_table(24))
+    T, C = layout.num_types, layout.node_cap
+    tgt = jnp.asarray(
+        np.random.default_rng(9).normal(size=(T, C, 24)).astype(np.float32)
+    )
+
+    def loss_ref(params, x):
+        out = hgt_conv_core_sorted(x, se, em, n_heads=4, rte_vec=rte_vec, **params)
+        return jnp.sum(out * tgt)
+
+    f = _partitioned_fn(layout, em, mesh, True)
+
+    def loss_part(params, x):
+        return jnp.sum(f(x, pe, params) * tgt)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(P_, x)
+    g_part = jax.grad(loss_part, argnums=(0, 1))(P_, x)
+    np.testing.assert_allclose(
+        np.asarray(g_part[1]), np.asarray(g_ref[1]), rtol=5e-3, atol=5e-4
+    )
+    for k in P_:
+        np.testing.assert_allclose(
+            np.asarray(g_part[0][k]), np.asarray(g_ref[0][k]),
+            rtol=5e-3, atol=5e-4, err_msg=k,
+        )
