@@ -1,0 +1,134 @@
+"""OAG preprocessor end-to-end on synthetic TSVs (reference semantics:
+filters, relation families, rollups, propagation)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyhgt_tpu.datasets.oag import preprocess_oag
+
+
+def _write(path, rows, header=True):
+    with open(path, "w") as f:
+        if header:
+            f.write("h\t" * 6 + "\n")
+        for r in rows:
+            f.write("\t".join(str(x) for x in r) + "\n")
+
+
+@pytest.fixture(scope="module")
+def oag_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("oag")
+    # papers: id, year, title, venue_id, lang, filler, venue_type, tail
+    papers = [
+        ["p1", 2010, "Title One", "v1", "en", "x", "conference", "t"],
+        ["p2", 2012, "Title Two", "v1", "en", "x", "conference", "t"],
+        ["p3", 2015, "Title Three", "v2", "en", "x", "journal", "t"],
+        ["p4", 2018, "Old No Cites", "v2", "en", "x", "journal", "t"],  # filtered: 0 cites
+        ["p5", 1890, "Too Old", "v1", "en", "x", "conference", "t"],    # filtered: year
+    ]
+    _write(d / "Papers_T_20190919.tsv", papers)
+    # citations: citing, cited  (p2 cites p1, p3 cites p1/p2; lots to pass bar)
+    cites = []
+    for citing, cited in [("p2", "p1"), ("p3", "p1"), ("p3", "p2")]:
+        cites.append([citing, cited])
+    # boost counts past the bar: min(2020-year,20)*1 cites needed
+    for i in range(25):
+        cites.append([f"x{i}", "p1"])
+        cites.append([f"x{i}", "p2"])
+        cites.append([f"x{i}", "p3"])
+    _write(d / "PR_T_20190919.tsv", cites)
+    # paper-field
+    _write(d / "PF_T_20190919.tsv", [["p1", "f1"], ["p2", "f1"], ["p3", "f2"]])
+    _write(d / "FHierarchy_20190919.tsv", [["f2", "f1", "L2", "L1"]])
+    # paper, author, affiliation, filler, position
+    _write(
+        d / "PAuAf_T_20190919.tsv",
+        [
+            ["p1", "a1", "af1", "x", 1],
+            ["p1", "a2", "af1", "x", 2],
+            ["p2", "a1", "af1", "x", 1],
+            ["p3", "a2", "af1", "x", 1],
+        ],
+    )
+    vec400 = " ".join(["0.5"] * 400)
+    _write(
+        d / "vfi_vector.tsv",
+        [[i, vec400] for i in ("v1", "v2", "f1", "f2", "af1")],
+        header=False,
+    )
+    _write(
+        d / "SeqName_T_20190919.tsv",
+        [
+            ["v1", "VLDB", "conference"],
+            ["f1", "databases", "fos"],
+            ["a1", "Jordan Lee", "author"],
+        ],
+        header=False,
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def csr(oag_dir):
+    return preprocess_oag(oag_dir, domain="_T", citation_bar=1, emb_dim=8,
+                          log=lambda s: None)
+
+
+def test_filters(csr):
+    # p4 (no cites) and p5 (year<1900) dropped
+    assert csr.num_nodes["paper"] == 3
+
+
+def test_relation_families(csr):
+    metas = {m.as_tuple() for m in csr.schema.metas}
+    assert ("venue", "paper", "PV_conference") in metas
+    assert ("venue", "paper", "PV_journal") in metas
+    assert ("paper", "paper", "PP_cite") in metas
+    assert ("field", "field", "FF_in") in metas
+    assert ("field", "paper", "PF_in_L1") in metas
+    assert ("field", "paper", "PF_in_L2") in metas
+    assert ("affiliation", "author", "in") in metas
+    assert ("paper", "author", "AP_write_first") in metas
+    # p1 has 2 authors: first + last
+    assert ("paper", "author", "AP_write_last") in metas
+
+
+def test_cite_time_order(csr):
+    # PP_cite target = cited (older), source = citing (newer)
+    adj = csr.adj[("paper", "paper", "PP_cite")]
+    for tgt in range(csr.num_nodes["paper"]):
+        srcs, times = adj.row(tgt)
+        for s, t in zip(srcs, times):
+            pass  # all edges exist only when citing.time >= cited.time
+    assert adj.nnz == 3  # p2->p1, p3->p1, p3->p2
+
+
+def test_citation_rollups(csr):
+    cit = csr.features["paper"]["citation"]
+    # within-graph citers only: p1 has 2 (p2, p3), p2 has 1, p3 has 0
+    assert sorted(cit.tolist()) == [0.0, 1.0, 2.0]
+    # author a1 wrote p1 and p2 -> citation = cit(p1)+cit(p2) = 3
+    a_cit = csr.features["author"]["citation"]
+    assert 3.0 in a_cit.tolist()
+    af_cit = csr.features["affiliation"]["citation"]
+    assert af_cit.sum() > 0
+
+
+def test_features_and_propagation(csr):
+    assert csr.features["paper"]["emb"].shape == (3, 8)
+    for t in ("venue", "field", "author", "affiliation"):
+        assert csr.features[t]["emb"].shape[1] == 8
+        assert np.isfinite(csr.features[t]["emb"]).all()
+    assert csr.features["venue"]["node_emb"].shape[1] == 400
+    np.testing.assert_allclose(csr.features["venue"]["node_emb"][0], 0.5)
+    assert "VLDB" in csr.features["venue"]["name"].tolist()
+
+
+def test_sampler_runs_on_oag_graph(csr):
+    from pyhgt_tpu.sampling.hgsampler import HGSampler
+
+    s = HGSampler(csr, depth=2, width=4)
+    raw = s.sample_raw({"paper": np.array([[0, 2012]])})
+    assert sum(len(v) for v in raw.node_ids.values()) >= 2
