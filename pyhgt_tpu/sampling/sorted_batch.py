@@ -36,7 +36,16 @@ from pyhgt_tpu.sampling.batch import BatchLayout, SubgraphBatch
 
 @struct.dataclass
 class SortedEdges:
-    """Device arrays for the scatter-free edge stage (all [E] unless noted)."""
+    """Device arrays for the scatter-free edge stage (all [E] unless noted).
+
+    The ``tl_* / live_* / seg_ptr2_*`` families drive the hierarchical
+    tiled segment reductions (:func:`pyhgt_tpu.ops.sorted_hgt.
+    seg_sum_tiled`): per-128-edge tile, ``tl`` is each edge's local
+    segment rank, ``live_idx`` lists the ≤ S+E/128 live (tile, rank)
+    partial rows in segment order, ``live_last`` the flat index of each
+    live row's last edge, ``live_key`` its segment id, and ``seg_ptr2``
+    the second-level CSR over live rows.
+    """
 
     edge_src: np.ndarray      # flat source node index, tgt-sorted order
     edge_tgt: np.ndarray
@@ -50,6 +59,62 @@ class SortedEdges:
     seg_ptr_src: np.ndarray   # [B*C+1]
     perm_tab: np.ndarray      # [E] permutation: tgt-order -> tabidx-sorted
     seg_ptr_tab: np.ndarray   # [B*L+1]
+    # tiled-reduction aux (tgt grouping, natural order)
+    tl_tgt: np.ndarray        # [E]
+    live_idx_tgt: np.ndarray  # [Mt]
+    live_key_tgt: np.ndarray  # [Mt]
+    live_last_tgt: np.ndarray # [Mt]
+    seg_ptr2_tgt: np.ndarray  # [N+1]
+    # tiled-reduction aux (gidx grouping, perm_src order)
+    tl_src: np.ndarray        # [E]
+    live_idx_src: np.ndarray  # [Ms]
+    seg_ptr2_src: np.ndarray  # [G+1]
+    # tiled-reduction aux (tabidx grouping, perm_tab order)
+    tl_tab: np.ndarray        # [E]
+    live_idx_tab: np.ndarray  # [Mtab]
+    seg_ptr2_tab: np.ndarray  # [Gt+1]
+
+
+REDUCE_TILE = 128
+
+
+def _tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int = REDUCE_TILE):
+    """Host aux for the hierarchical tiled reduction over one grouping.
+
+    ``key_sorted [E]``: non-decreasing segment ids (sentinel
+    ``num_segments`` for padding). Returns (tile_local [E], live_idx [M],
+    live_key [M], live_last [M], seg_ptr2 [S+1]) with static
+    M = num_segments + E//K (padded live rows point at the extra zero row
+    ``E//K * K`` appended by the device op).
+    """
+    E = key_sorted.shape[0]
+    assert E % K == 0, f"edge count {E} not a multiple of the {K} tile"
+    tiles = E // K
+    k2 = key_sorted.reshape(tiles, K)
+    new = np.ones((tiles, K), dtype=bool)
+    new[:, 1:] = k2[:, 1:] != k2[:, :-1]
+    rank = np.cumsum(new, axis=1) - 1
+    tl = rank.reshape(E).astype(np.int32)
+
+    pos = np.flatnonzero(new.reshape(E))          # first edge of each live row
+    t_of = pos // K
+    row = (t_of * K + tl[pos]).astype(np.int32)
+    k_of = key_sorted[pos].astype(np.int32)
+    last = (np.r_[pos[1:], E] - 1).astype(np.int32)
+
+    M = num_segments + tiles
+    L = len(pos)
+    assert L <= M, (L, M)
+    live_idx = np.full(M, tiles * K, dtype=np.int32)     # extra zero row
+    live_key = np.full(M, num_segments, dtype=np.int32)  # sentinel
+    live_last = np.full(M, E, dtype=np.int32)            # extra NEG row
+    live_idx[:L] = row
+    live_key[:L] = k_of
+    live_last[:L] = last
+    seg_ptr2 = np.searchsorted(live_key, np.arange(num_segments + 1)).astype(
+        np.int32
+    )
+    return tl, live_idx, live_key, live_last, seg_ptr2
 
 
 def sort_batch(
@@ -96,6 +161,10 @@ def sort_batch(
         np.int32
     )
 
+    tl_tgt, li_tgt, lk_tgt, ll_tgt, sp2_tgt = _tiled_aux(key, N)
+    tl_src, li_src, _lk, _ll, sp2_src = _tiled_aux(key_src[perm_src], B * C)
+    tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab[perm_tab], B * L)
+
     return SortedEdges(
         edge_src=src.astype(np.int32),
         edge_tgt=np.where(mask, tgt, N - 1).astype(np.int32),
@@ -109,4 +178,15 @@ def sort_batch(
         seg_ptr_src=seg_ptr_src,
         perm_tab=perm_tab,
         seg_ptr_tab=seg_ptr_tab,
+        tl_tgt=tl_tgt,
+        live_idx_tgt=li_tgt,
+        live_key_tgt=lk_tgt,
+        live_last_tgt=ll_tgt,
+        seg_ptr2_tgt=sp2_tgt,
+        tl_src=tl_src,
+        live_idx_src=li_src,
+        seg_ptr2_src=sp2_src,
+        tl_tab=tl_tab,
+        live_idx_tab=li_tab,
+        seg_ptr2_tab=sp2_tab,
     )
