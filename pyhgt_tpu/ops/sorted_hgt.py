@@ -300,9 +300,9 @@ def _edge_bwd(dims, res, g_aggr):
         g_v_tab = jnp.zeros_like(v_tab)
 
     def f0_like(leaf):
-        if np.issubdtype(np.asarray(leaf).dtype, np.inexact):
+        if jnp.issubdtype(leaf.dtype, jnp.inexact):
             return jnp.zeros_like(leaf)
-        return np.zeros(np.shape(leaf), dtype=jax.dtypes.float0)
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
 
     g_se = jax.tree.map(f0_like, res[8])
     return (

@@ -147,6 +147,24 @@ def sort_batch(
     onehot = np.zeros((E, R), dtype=np.float32)
     onehot[np.arange(E), rel] = mask  # padded rows are all-zero
 
+    # pad the flat edge axis to the reduction tile (extra edges are masked
+    # and sort last, so every downstream pointer stays correct)
+    padn = (-E) % REDUCE_TILE
+    if padn:
+        src = np.concatenate([src, np.zeros(padn, src.dtype)])
+        tgt = np.concatenate([tgt, np.zeros(padn, tgt.dtype)])
+        dt = np.concatenate([dt, np.zeros(padn, dt.dtype)])
+        mask = np.concatenate([mask, np.zeros(padn, bool)])
+        key = np.concatenate([key, np.full(padn, N, key.dtype)])
+        gidx = np.concatenate(
+            [gidx, np.full(padn, B * C - 1, gidx.dtype)]
+        )
+        tabidx = np.concatenate(
+            [tabidx, np.full(padn, B * L - 1, tabidx.dtype)]
+        )
+        onehot = np.concatenate([onehot, np.zeros((padn, R), np.float32)])
+        E = E + padn
+
     seg_ptr_tgt = np.searchsorted(key, np.arange(N + 1)).astype(np.int32)
 
     key_src = np.where(mask, gidx, B * C)
