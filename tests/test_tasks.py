@@ -225,3 +225,37 @@ def test_link_prediction_task(task_env):
         tb.cand_idx, tb.cand_mask, tb.query_mask,
     )
     assert np.isfinite(float(loss))
+
+
+def test_matcher_index(rng):
+    from pyhgt_tpu.models import Matcher
+    from pyhgt_tpu.tasks.matcher_index import MatcherIndex
+
+    m = Matcher(n_hid=8)
+    cands = rng.normal(size=(50, 8)).astype(np.float32)
+    queries = rng.normal(size=(4, 8)).astype(np.float32)
+    params = m.init(jax.random.key(0), cands[:1], queries[:1])
+
+    idx = MatcherIndex(
+        matcher_apply=lambda p, x: m.apply(p, x, method=Matcher.left)
+    ).build(params, cands, batch=16)
+    q_emb = m.apply(params, queries, method=Matcher.right)
+    scores = np.asarray(idx.score(q_emb))
+    # parity with the direct two-tower path
+    direct = np.asarray(m.apply(params, cands, queries, pair=False)).T
+    np.testing.assert_allclose(scores, direct, rtol=1e-5, atol=1e-5)
+    vals, ids = idx.score(q_emb, top_k=3)
+    assert np.asarray(vals).shape == (4, 3)
+    best = np.argmax(scores, axis=1)
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], best)
+    v0 = idx.params_version
+    idx.refresh(params, cands)
+    assert idx.params_version == v0 + 1
+
+
+def test_distributed_initialize_single_host():
+    from pyhgt_tpu.parallel.distributed import initialize
+
+    info = initialize()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1
