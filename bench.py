@@ -21,8 +21,10 @@ import time
 
 import numpy as np
 
-# Round-1 pinned measurement on one TPU chip (updated when first measured).
-BASELINE_EDGES_PER_S = None  # set after the first real-hardware run
+# Round-1 pinned measurement on one v5e chip (2026-08-17, scatter-free
+# sorted path + tiled reductions + save_kv: 379.8 ms/step on 226304 edges
+# x 4 layers). vs_baseline tracks speedup against this number.
+BASELINE_EDGES_PER_S = 2_383_560.0
 
 
 def main() -> None:

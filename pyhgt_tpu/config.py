@@ -33,6 +33,7 @@ class ExperimentConfig:
     use_rte: bool = True               # --use_RTE
     edge_impl: str = "sorted"
     remat: bool = False
+    save_kv: bool = False
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

@@ -101,6 +101,7 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         use_rte=cfg.use_rte,
         remat=cfg.remat,
         edge_impl=cfg.edge_impl,
+        save_kv=cfg.save_kv,
     )
 
 
@@ -463,3 +464,67 @@ def run_author_disambiguation(
     log(f"test NDCG {test_ndcg:.4f} MRR {test_mrr:.4f}")
     return dict(history=history, test_ndcg=test_ndcg, test_mrr=test_mrr,
                 best_valid=ckpt.best, state=state)
+
+
+# ---------------------------------------------------------------------------
+def evaluate_ogbn(
+    cfg: ExperimentConfig,
+    graph: CSRGraph,
+    ckpt_path: str,
+    eval_mode: str = "variance_reduce",
+    max_eval_nodes: Optional[int] = None,
+    log: Callable[[str], None] = print,
+) -> Dict:
+    """Standalone checkpoint evaluation — the reference's separate
+    ``eval_ogbn_mag.py`` entry point (``:107-191``): rebuild the model,
+    restore the best checkpoint, run VR or sequential eval."""
+    from pyhgt_tpu.train.checkpoint import load_checkpoint
+
+    sampler = make_sampler(cfg, graph)
+    layout = make_layout(cfg, graph)
+    em = EdgeStaticMeta.from_layout(layout)
+    task = OgbnNodeTask(
+        graph=graph, sampler=sampler, layout=layout, batch_size=cfg.batch_size
+    )
+    rng0 = np.random.default_rng(cfg.seed)
+    tb0 = task.sample(np.arange(min(cfg.batch_size, 4)), rng0)
+    model = NodeClassifierModel(
+        gnn_kwargs=gnn_kwargs(cfg, layout, _infer_in_dim(tb0)),
+        n_classes=task.n_classes,
+        target_type_id=layout.schema.type_id(task.target_type),
+        head_mode="full",
+    )
+    se0 = sort_batch(tb0.sub, layout, em)
+    params = model.init(jax.random.key(cfg.seed), *tb0.batch_args, em, se=se0)
+    tx = make_tx(cfg, params, 1)
+    template = TrainState.create(params, tx)
+    state = load_checkpoint(ckpt_path, template)
+
+    fwd = jax.jit(
+        lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
+            p, nf, es, et, dt, emk, nmk, em, se=se
+        )
+    )
+
+    def eval_forward(p, *bargs):
+        from pyhgt_tpu.sampling.batch import SubgraphBatch
+
+        nf, es, et, dt, emk, nmk = bargs
+        sub = SubgraphBatch(
+            node_feat=nf, node_time=np.zeros_like(nmk, dtype=np.int32),
+            node_mask=nmk, edge_src=es, edge_tgt=et, edge_dt=dt,
+            edge_mask=emk, block_overflow=np.zeros(1, np.int32),
+        )
+        se = sort_batch(sub, layout, em)
+        return fwd(p, *bargs, se)
+
+    out = multi_sample_eval(
+        eval_forward, state.params, task, split="test",
+        batch_size=cfg.batch_size,
+        vr_num=cfg.vr_num if eval_mode == "variance_reduce" else 1,
+        rng=np.random.default_rng(cfg.seed + 3),
+        max_nodes=max_eval_nodes,
+    )
+    log(f"test acc ({eval_mode}): {out['acc']:.4f} "
+        f"(single-sample {out['single_sample_acc']:.4f}, n={out['n_eval']})")
+    return out

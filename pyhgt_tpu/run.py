@@ -16,7 +16,13 @@ from pyhgt_tpu.config import PRESETS, ExperimentConfig
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pyhgt_tpu.run", description=__doc__)
-    p.add_argument("task", choices=list(PRESETS.keys()))
+    p.add_argument(
+        "task", choices=list(PRESETS.keys()) + ["eval_ogbn_mag"],
+    )
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (eval_ogbn_mag)")
+    p.add_argument("--eval_mode", default="variance_reduce",
+                   choices=["variance_reduce", "sequential"])
     p.add_argument("--data", dest="data_path", required=True,
                    help="CSRGraph pickle, or a reference .pk (auto-converted)")
     ref = ExperimentConfig()
@@ -50,7 +56,7 @@ def load_graph(path: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    cfg = PRESETS[args.task]
+    cfg = PRESETS["ogbn_mag" if args.task == "eval_ogbn_mag" else args.task]
     overrides = {
         k: v for k, v in vars(args).items()
         if k not in ("task",) and v is not None
@@ -84,6 +90,12 @@ def main(argv=None) -> int:
         run_author_disambiguation(cfg, graph)
     elif args.task == "ogbn_mag":
         run_ogbn(cfg, graph)
+    elif args.task == "eval_ogbn_mag":
+        from pyhgt_tpu.experiments.engine import evaluate_ogbn
+
+        if not args.ckpt:
+            raise SystemExit("--ckpt required for eval_ogbn_mag")
+        evaluate_ogbn(cfg, graph, args.ckpt, eval_mode=args.eval_mode)
     return 0
 
 

@@ -83,3 +83,22 @@ def test_cli_parser():
     assert a.n_hid == 64
     assert a.use_rte is False
     assert a.clip == 1.0
+
+
+def test_evaluate_ogbn_from_checkpoint(toy_env, tmp_path):
+    from pyhgt_tpu.experiments.engine import evaluate_ogbn
+
+    rng = np.random.default_rng(1)
+    n = toy_env.num_nodes["paper"]
+    toy_env.aux.update(
+        y=rng.integers(0, 4, n), years=np.full(n, 2015),
+        train_mask=rng.random(n) < 0.5,
+        valid_mask=(rng.random(n) < 0.3),
+        test_mask=(rng.random(n) < 0.3),
+    )
+    cfg = _tiny_cfg(tmp_path, task_name="ogbn_eval_toy", n_epoch=1)
+    out = run_ogbn(cfg, toy_env, log=lambda s: None, max_eval_nodes=8)
+    ckpt = str(tmp_path / "ogbn_eval_toy_hgt")
+    res = evaluate_ogbn(cfg, toy_env, ckpt, eval_mode="sequential",
+                        max_eval_nodes=8, log=lambda s: None)
+    assert 0.0 <= res["acc"] <= 1.0
