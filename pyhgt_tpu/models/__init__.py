@@ -6,7 +6,7 @@ per-relation banks instead of ModuleLists of Linears, and every forward is a
 single traced XLA program over the static padded batch layout.
 """
 
-from pyhgt_tpu.models.conv import HGTConv, DenseHGTConv, GCNConv, GATConv, GeneralConv
+from pyhgt_tpu.models.conv import HGTConv, DenseHGTConv, GCNConv, GATConv, RGCNConv, GeneralConv
 from pyhgt_tpu.models.model import GNN, Classifier, Matcher
 from pyhgt_tpu.models.composite import NodeClassifierModel, LinkMatcherModel
 
@@ -15,6 +15,7 @@ __all__ = [
     "DenseHGTConv",
     "GCNConv",
     "GATConv",
+    "RGCNConv",
     "GeneralConv",
     "GNN",
     "Classifier",

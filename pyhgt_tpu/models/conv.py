@@ -105,6 +105,56 @@ class HGTConv(nn.Module):
         tab = jnp.asarray(rte_sin_table(self.in_dim))
         return tab @ self.rte_w + self.rte_b
 
+    def attention_weights(
+        self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
+        em: EdgeStaticMeta, se=None,
+    ):
+        """[E, H] softmax attention per edge — the reference keeps this on
+        the module for visualization (``pyHGT/conv.py:106-108``). Uses the
+        same layout as the forward that produced it (sorted order when
+        ``se`` is given)."""
+        rte_vec = self.rte_vectors() if self.use_rte else None
+        if se is not None:
+            from pyhgt_tpu.ops.hgt import (
+                _block_relation_transform, _rte_block_tables, typed_linear,
+            )
+            from pyhgt_tpu.ops.sorted_hgt import hgt_edge_attention
+
+            T, C, _ = x.shape
+            Dout = self.out_dim
+            H, dk = self.n_heads, Dout // self.n_heads
+            q = typed_linear(x, self.wq, self.bq)
+            k = typed_linear(x, self.wk, self.bk).reshape(T, C, H, dk)
+            v = typed_linear(x, self.wv, self.bv).reshape(T, C, H, dk)
+            k_rel = _block_relation_transform(k, self.rel_att, em)
+            v_rel = _block_relation_transform(v, self.rel_msg, em)
+            B = k_rel.shape[0]
+            if rte_vec is not None:
+                L = rte_vec.shape[0]
+                k_tab = _rte_block_tables(
+                    rte_vec, self.wk, self.rel_att, em, H, dk
+                ).reshape(B * L, Dout)
+                v_tab = _rte_block_tables(
+                    rte_vec, self.wv, self.rel_msg, em, H, dk
+                ).reshape(B * L, Dout)
+            else:
+                k_tab = jnp.zeros((1, Dout), x.dtype)
+                v_tab = jnp.zeros((1, Dout), x.dtype)
+            pri_e = se.rel_onehot @ self.rel_pri
+            return hgt_edge_attention(
+                q.reshape(T * C, Dout), k_rel.reshape(B * C, Dout),
+                v_rel.reshape(B * C, Dout), k_tab, v_tab, pri_e,
+                (H, dk, rte_vec is not None, False), se,
+            )
+        _aggr, w = hgt_conv_core(
+            x, edge_src, edge_tgt, edge_dt, edge_mask, em,
+            wq=self.wq, bq=self.bq, wk=self.wk, bk=self.bk,
+            wv=self.wv, bv=self.bv,
+            rel_pri=self.rel_pri, rel_att=self.rel_att, rel_msg=self.rel_msg,
+            n_heads=self.n_heads, rte_vec=rte_vec,
+        )
+        return w
+
     def __call__(
         self,
         x,
@@ -343,6 +393,53 @@ class GATConv(nn.Module):
         return out.reshape(T, C, self.out_dim) * node_mask[..., None]
 
 
+class RGCNConv(nn.Module):
+    """Relational GCN — advertised but UNIMPLEMENTED in the reference CLI
+    (``OAG/train_paper_field.py:28``); provided here as a real capability.
+
+    Per-relation transforms + symmetric-degree-normalized aggregation
+    (Schlichtkrull et al. 2018, basis form with one matrix per relation),
+    evaluated TPU-style: the relation transform happens at node level per
+    edge block (same trick as HGT), so the per-edge work is gather +
+    normalized segment sum.
+    """
+
+    in_dim: int
+    out_dim: int
+    num_relations: int
+
+    @nn.compact
+    def __call__(
+        self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
+        deterministic: bool = True, se=None,
+    ):
+        T, C, Din = x.shape
+        N = T * C
+        w_rel = self.param(
+            "w_rel", nn.initializers.lecun_normal(),
+            (self.num_relations, Din, self.out_dim),
+        )
+        b = self.param("b", nn.initializers.zeros, (self.out_dim,))
+        # node-level per-block relation transform: [B, C, Dout]
+        by_block = x.reshape(N, Din)[
+            jnp.asarray(em.block_src)[:, None] * C
+            + jnp.arange(C)[None, :]
+        ]                                                   # [B, C, Din]
+        mats = w_rel[jnp.asarray(em.block_rel)]             # [B, Din, Dout]
+        h_rel = jnp.einsum(
+            "bcd,bde->bce", by_block, mats,
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, self.out_dim)
+        gidx = edge_src + jnp.asarray(em.gather_off)
+        h_e = h_rel[gidx]
+        ones = jnp.where(edge_mask, 1.0, 0.0)
+        deg = segment_sum(ones, edge_tgt, N)
+        inv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
+        out = segment_sum(h_e * ones[:, None], edge_tgt, N) * inv[:, None]
+        out = jax.nn.relu(out + b)
+        return out.reshape(T, C, self.out_dim) * node_mask[..., None]
+
+
 class GeneralConv(nn.Module):
     """Uniform layer dispatcher (``pyHGT/conv.py:303-324``): one call
     signature for heterogeneous (hgt/dense_hgt) and homogeneous (gcn/gat)
@@ -385,10 +482,13 @@ class GeneralConv(nn.Module):
             self.base_conv = GCNConv(**kw)
         elif self.conv_name == "gat":
             self.base_conv = GATConv(**kw, n_heads=self.n_heads, dropout=self.dropout)
+        elif self.conv_name == "rgcn":
+            self.base_conv = RGCNConv(**kw, num_relations=self.num_relations)
         else:
             raise NotImplementedError(
                 f"conv_name {self.conv_name!r} not supported (the reference "
-                "advertises rgcn/han/hetgnn but does not implement them)"
+                "advertises han/hetgnn but does not implement them; here "
+                "rgcn IS implemented)"
             )
 
     def __call__(self, *args, **kwargs):

@@ -50,7 +50,7 @@ def _rand_batch(layout, rng, din=12):
     return x, es, et, dt, mask, node_mask
 
 
-@pytest.mark.parametrize("conv_name", ["hgt", "dense_hgt", "gcn", "gat"])
+@pytest.mark.parametrize("conv_name", ["hgt", "dense_hgt", "gcn", "gat", "rgcn"])
 def test_gnn_forward_shapes_and_mask(layout, rng, conv_name):
     em = EdgeStaticMeta.from_layout(layout)
     x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
@@ -88,9 +88,53 @@ def test_gnn_padding_invariance(layout, rng):
 def test_unimplemented_conv_raises(layout):
     with pytest.raises(NotImplementedError):
         GeneralConv(
-            conv_name="rgcn", in_dim=8, out_dim=8, num_types=1,
+            conv_name="han", in_dim=8, out_dim=8, num_types=1,
             num_relations=1, n_heads=1,
         ).init(jax.random.key(0))
+
+
+def test_attention_weights_sum_to_one(layout, rng):
+    from pyhgt_tpu.models import HGTConv
+    from pyhgt_tpu.sampling.batch import SubgraphBatch
+    from pyhgt_tpu.sampling.sorted_batch import sort_batch
+
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    conv = HGTConv(
+        in_dim=12, out_dim=12, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4,
+    )
+    params = conv.init(jax.random.key(0), x, es, et, dt, mask, node_mask, em)
+    w = np.asarray(conv.apply(
+        params, x, es, et, dt, mask, node_mask, em,
+        method=HGTConv.attention_weights,
+    ))
+    # weights over each target's incoming edges sum to 1 (reference
+    # segment-softmax semantics)
+    N = layout.num_types * layout.node_cap
+    sums = np.zeros((N, 4))
+    np.add.at(sums, et, w)
+    has_edges = np.zeros(N, bool)
+    has_edges[et[mask]] = True
+    np.testing.assert_allclose(sums[has_edges], 1.0, rtol=1e-4)
+    np.testing.assert_allclose(w[~mask], 0.0)
+
+    # sorted path agrees (up to edge reordering)
+    sub = SubgraphBatch(
+        node_feat=x, node_time=np.zeros_like(node_mask, np.int32),
+        node_mask=node_mask, edge_src=es, edge_tgt=et, edge_dt=dt,
+        edge_mask=mask, block_overflow=np.zeros(1, np.int32),
+    )
+    se = sort_batch(sub, layout, em)
+    w2 = np.asarray(conv.apply(
+        params, x, es, et, dt, mask, node_mask, em, se,
+        method=HGTConv.attention_weights,
+    ))
+    assert w2.shape[1] == 4
+    np.testing.assert_allclose(
+        np.sort(w2[se.edge_mask].ravel()), np.sort(w[mask].ravel()),
+        rtol=2e-3, atol=1e-5,
+    )
 
 
 def test_classifier_log_softmax(rng):
