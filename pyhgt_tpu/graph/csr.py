@@ -157,6 +157,78 @@ class CSRGraph:
             raise TypeError(f"{path} does not contain a CSRGraph (got {type(g)})")
         return g
 
+    # Directory layout for memory-mapped storage: big arrays as individual
+    # .npy files (loadable with mmap_mode so an 8 GB OAG graph costs no
+    # resident RAM until touched — the reference dill-loads the whole
+    # multi-GB pickle up front, /root/reference/OAG/train_paper_field.py:72),
+    # plus a small pickle for the schema/metadata.
+    def save_dir(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "schema": self.schema,
+            "num_nodes": self.num_nodes,
+            "metas": [m.as_tuple() for m in self.schema.metas],
+            "times": self.times,
+            "feature_keys": {
+                t: list(cols.keys()) for t, cols in self.features.items()
+            },
+            "aux_keys": list(self.aux.keys()),
+        }
+        with open(os.path.join(path, "meta.pk"), "wb") as f:
+            pickle.dump(meta, f)
+        for i, m in enumerate(self.schema.metas):
+            adj = self.adj[m.as_tuple()]
+            np.save(os.path.join(path, f"adj{i}_indptr.npy"), adj.indptr)
+            np.save(os.path.join(path, f"adj{i}_src.npy"), adj.src)
+            np.save(os.path.join(path, f"adj{i}_time.npy"), adj.time)
+        for t, cols in self.features.items():
+            for k, v in cols.items():
+                np.save(os.path.join(path, f"feat_{t}_{k}.npy"),
+                        np.asarray(v))
+        for k, v in self.aux.items():
+            np.save(os.path.join(path, f"aux_{k}.npy"), np.asarray(v))
+
+    @staticmethod
+    def load_dir(path: str, mmap: bool = True) -> "CSRGraph":
+        import os
+
+        mode = "r" if mmap else None
+        with open(os.path.join(path, "meta.pk"), "rb") as f:
+            meta = pickle.load(f)
+        schema = meta["schema"]
+        adj = {}
+        for i, m in enumerate(schema.metas):
+            adj[m.as_tuple()] = CSRAdj(
+                indptr=np.load(os.path.join(path, f"adj{i}_indptr.npy"),
+                               mmap_mode=mode),
+                src=np.load(os.path.join(path, f"adj{i}_src.npy"),
+                            mmap_mode=mode),
+                time=np.load(os.path.join(path, f"adj{i}_time.npy"),
+                             mmap_mode=mode),
+            )
+        feats = {
+            t: {
+                k: np.load(os.path.join(path, f"feat_{t}_{k}.npy"),
+                           mmap_mode=mode, allow_pickle=False)
+                for k in keys
+            }
+            for t, keys in meta["feature_keys"].items()
+        }
+        aux = {
+            k: np.load(os.path.join(path, f"aux_{k}.npy"), mmap_mode=mode)
+            for k in meta["aux_keys"]
+        }
+        return CSRGraph(
+            schema=schema,
+            num_nodes=meta["num_nodes"],
+            adj=adj,
+            features=feats,
+            times=np.asarray(meta["times"]),
+            aux=aux,
+        )
+
     def __repr__(self) -> str:
         return (
             f"CSRGraph(types={dict(self.num_nodes)}, "

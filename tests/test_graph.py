@@ -105,3 +105,30 @@ def test_csr_save_load(tmp_path, toy_csr):
     g2 = CSRGraph.load(str(p))
     assert g2.num_edges() == toy_csr.num_edges()
     assert g2.schema == toy_csr.schema
+
+
+def test_csr_dir_roundtrip_mmap(toy_csr, tmp_path):
+    """save_dir/load_dir with memory-mapping preserves everything."""
+    import numpy as np
+
+    toy_csr.aux["y"] = np.arange(toy_csr.num_nodes["paper"])
+    d = str(tmp_path / "gdir")
+    toy_csr.save_dir(d)
+    g2 = type(toy_csr).load_dir(d, mmap=True)
+    assert g2.num_nodes == toy_csr.num_nodes
+    assert len(g2.schema.metas) == len(toy_csr.schema.metas)
+    for m in toy_csr.schema.metas:
+        a, b = toy_csr.adj[m.as_tuple()], g2.adj[m.as_tuple()]
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.src, b.src)
+        np.testing.assert_array_equal(a.time, b.time)
+    np.testing.assert_array_equal(
+        g2.features["paper"]["emb"], toy_csr.features["paper"]["emb"]
+    )
+    np.testing.assert_array_equal(g2.aux["y"], toy_csr.aux["y"])
+    # sampler runs off the mmap'd arrays
+    from pyhgt_tpu.sampling.hgsampler import HGSampler
+
+    s = HGSampler(g2, depth=2, width=4)
+    raw = s.sample_raw({"paper": np.array([[0, 2015]])})
+    assert len(raw.node_ids["paper"]) >= 1
