@@ -49,18 +49,13 @@ def main() -> None:
         params=params,
     )
     state = TrainState.create(params, tx)
-    step = make_train_step(fl.loss_fn(), tx)
+    # unbatched step: vmap(1) turns edge gathers into batched gathers
+    # and costs ~20% (measured 380 -> 304 ms)
+    step = make_train_step(fl.loss_fn_single(), tx)
 
-    # stacked leading axis of size 1 (the dp axis; bench is single-chip)
-    stack = jax.tree.map(lambda x: np.asarray(x)[None], batch)
-    y = np.asarray(labels)[None]
-    bargs = (
-        stack.node_feat, stack.edge_src, stack.edge_tgt, stack.edge_dt,
-        stack.edge_mask, stack.node_mask,
-    )
-    bargs = tuple(jax.device_put(a) for a in bargs)
-    se_stack = jax.device_put(jax.tree.map(lambda x: np.asarray(x)[None], se))
-    y = jax.device_put(y)
+    bargs = tuple(jax.device_put(np.asarray(a)) for a in fl.batch_args(batch))
+    se_stack = jax.device_put(se)
+    y = jax.device_put(np.asarray(labels))
     rng = jax.random.key(1)
 
     n_edges = int(np.sum(np.asarray(batch.edge_mask)))

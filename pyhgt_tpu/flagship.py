@@ -164,11 +164,30 @@ class Flagship:
 
         return fwd
 
+    def loss_fn_single(self):
+        """(params, rng, batch_args..., se, labels) -> scalar — unbatched.
+
+        Prefer this on one chip: vmap with a size-1 leading axis turns the
+        edge gathers into batched gathers and costs ~20% (measured).
+        """
+        em = self.em
+        model = self.model
+
+        def loss(params, rng, nf, es, et, dt, emk, nmk, se, labels):
+            logp = model.apply(
+                params, nf, es, et, dt, emk, nmk, em, se=se,
+                deterministic=False, rngs={"dropout": rng},
+            )
+            return nll_loss(logp, labels)
+
+        return loss
+
     def loss_fn(self):
         """(params, rng, stacked_batch_args..., labels) -> scalar.
 
         Stacked leading axis = data-parallel subgraphs; dropout rngs are
-        split per subgraph.
+        split per subgraph. (For production dp prefer shard_map over the
+        data axis so each device runs the unbatched program.)
         """
         em = self.em
         model = self.model

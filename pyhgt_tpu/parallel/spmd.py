@@ -1,0 +1,63 @@
+"""shard_map data-parallel train step.
+
+The vmap-over-stacked-subgraphs dp form compiles *batched* gathers even
+when each device's local batch is 1, costing ~20% on the edge stage
+(measured on v5e). This step instead shard_maps the **unbatched** program
+over the ``data`` axis: each device runs the single-subgraph code path,
+losses ``pmean`` over ICI, and the shard_map transpose psums the
+(replicated) parameter gradients.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from pyhgt_tpu.parallel.mesh import DATA_AXIS
+from pyhgt_tpu.train.step import TrainState
+
+
+def make_dp_train_step(
+    loss_single,
+    tx: optax.GradientTransformation,
+    mesh,
+    donate: bool = True,
+):
+    """Build ``step(state, rng, *stacked_batch) -> (state, loss)``.
+
+    ``loss_single(params, rng, *batch_args)`` is the unbatched loss;
+    ``stacked_batch`` leaves carry a leading axis equal to the data-axis
+    size (device_put them with a ``P('data')`` sharding). Per-shard
+    dropout rngs derive from ``fold_in(rng, axis_index)``.
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def sharded_loss(params, rng, batch):
+        local = jax.tree.map(lambda a: a[0], batch)
+        rng_s = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        loss = loss_single(params, rng_s, *local)
+        return jax.lax.pmean(loss, DATA_AXIS)
+
+    def step(state: TrainState, rng, *batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: sharded_loss(p, rng, batch)
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -110,3 +110,39 @@ def test_param_sharding_rules(env):
     assert got["wa"] == P(None, "model", None)
     assert got["skip"] == P()
     assert got["ln_scale"] == P()
+
+
+def test_shard_map_dp_step(env):
+    """shard_map dp loss == mean of per-shard unbatched losses."""
+    from pyhgt_tpu.parallel.spmd import make_dp_train_step
+
+    fl, stack, se_stack, y, params = env
+    tx = make_optimizer(1e-2, weight_decay=0.0, clip_norm=0.25, params=params)
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    loss_single = fl.loss_fn_single()
+    rng = jax.random.key(5)
+
+    # expected: mean over shards with fold_in rngs, computed serially
+    expected = np.mean([
+        float(loss_single(
+            params, jax.random.fold_in(rng, i),
+            *[jax.tree.map(lambda a: a[i], x) for x in fl.batch_args(stack)],
+            jax.tree.map(lambda a: a[i], se_stack),
+            y[i],
+        ))
+        for i in range(4)
+    ])
+
+    with mesh:
+        from pyhgt_tpu.parallel.mesh import batch_sharding, replicate
+
+        bs = batch_sharding(mesh)
+        args = tuple(jax.device_put(a, bs) for a in fl.batch_args(stack))
+        se_d = jax.device_put(se_stack, bs)
+        yd = jax.device_put(y, bs)
+        state = TrainState.create(jax.device_put(params, replicate(mesh)), tx)
+        step = make_dp_train_step(loss_single, tx, mesh, donate=False)
+        state2, loss = step(state, jax.device_put(rng, replicate(mesh)),
+                            *args, se_d, yd)
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+    assert int(state2.step) == 1
