@@ -102,3 +102,61 @@ def test_evaluate_ogbn_from_checkpoint(toy_env, tmp_path):
     res = evaluate_ogbn(cfg, toy_env, ckpt, eval_mode="sequential",
                         max_eval_nodes=8, log=lambda s: None)
     assert 0.0 <= res["acc"] <= 1.0
+
+
+def test_bench_contract_tiny(monkeypatch, capsys):
+    """bench.py must print exactly one JSON line with the driver's schema."""
+    import json
+    import sys
+
+    import bench
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench.py", "--preset", "dryrun", "--steps", "1", "--warmup", "1"],
+    )
+    bench.main()
+    out = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    rec = json.loads(out[-1])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
+
+
+def test_checkpoint_resume_continues_training(toy_env, tmp_path):
+    """Full-state checkpoint restores optimizer + step (the resume the
+    reference lacks, SURVEY.md §5)."""
+    import jax
+
+    from pyhgt_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from pyhgt_tpu.train.optim import make_optimizer
+    from pyhgt_tpu.train.step import TrainState, make_train_step
+    import jax.numpy as jnp
+
+    def loss_fn(params, rng, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(32, 4)).astype(np.float32)
+    Y = rng.normal(size=(32, 1)).astype(np.float32)
+    params = {"w": jnp.zeros((4, 1))}
+    tx = make_optimizer(1e-2, params=params)
+    step = make_train_step(loss_fn, tx, donate=False)
+    key = jax.random.key(0)
+
+    # continuous: 6 steps
+    s = TrainState.create(params, tx)
+    for _ in range(6):
+        s, _ = step(s, key, X, Y)
+    w_cont = np.asarray(s.params["w"])
+
+    # interrupted: 3 steps, checkpoint, restore, 3 more
+    s2 = TrainState.create(params, tx)
+    for _ in range(3):
+        s2, _ = step(s2, key, X, Y)
+    p = str(tmp_path / "resume")
+    save_checkpoint(p, s2)
+    s3 = load_checkpoint(p, TrainState.create(params, tx))
+    assert int(s3.step) == 3
+    for _ in range(3):
+        s3, _ = step(s3, key, X, Y)
+    np.testing.assert_allclose(np.asarray(s3.params["w"]), w_cont, rtol=1e-6)
