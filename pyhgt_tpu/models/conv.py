@@ -67,6 +67,7 @@ class HGTConv(nn.Module):
     remat: bool = False   # jax.checkpoint the attention core (backward remat)
     edge_impl: str = "segment"  # 'segment' (jnp scatter) | 'sorted' (scatter-free)
     save_kv: bool = False  # sorted path: keep per-edge K/V/Q for the backward
+    graph_axis: str = ""   # set to a mesh axis name to run edge-partitioned
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -166,11 +167,26 @@ class HGTConv(nn.Module):
         em: EdgeStaticMeta,
         deterministic: bool = True,
         se=None,   # SortedEdges for edge_impl='sorted'
+        pe=None,   # PartitionedEdges local block (inside shard_map)
     ):
         rte_vec = self.rte_vectors() if self.use_rte else None
         n_heads = self.n_heads
 
-        if self.edge_impl == "sorted":
+        if self.graph_axis and pe is not None:
+            from pyhgt_tpu.parallel.edge_partition import (
+                hgt_conv_core_partitioned,
+            )
+
+            aggr = hgt_conv_core_partitioned(
+                x, pe, em,
+                wq=self.wq, bq=self.bq, wk=self.wk, bk=self.bk,
+                wv=self.wv, bv=self.bv,
+                rel_pri=self.rel_pri, rel_att=self.rel_att,
+                rel_msg=self.rel_msg,
+                n_heads=n_heads, rte_vec=rte_vec,
+                axis_name=self.graph_axis,
+            )
+        elif self.edge_impl == "sorted":
             if se is None:
                 raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
@@ -232,6 +248,7 @@ class DenseHGTConv(nn.Module):
     use_rte: bool = True
     remat: bool = False
     edge_impl: str = "segment"
+    graph_axis: str = ""
     save_kv: bool = False
 
     def setup(self):
@@ -274,6 +291,7 @@ class DenseHGTConv(nn.Module):
         em: EdgeStaticMeta,
         deterministic: bool = True,
         se=None,
+        pe=None,
     ):
         rte_vec = (
             (jnp.asarray(rte_sin_table(self.in_dim)) @ self.rte_w + self.rte_b)
@@ -342,7 +360,7 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(
         self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-        deterministic: bool = True, se=None,
+        deterministic: bool = True, se=None, pe=None,
     ):
         T, C, _ = x.shape
         N = T * C
@@ -369,7 +387,7 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(
         self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-        deterministic: bool = True, se=None,
+        deterministic: bool = True, se=None, pe=None,
     ):
         T, C, _ = x.shape
         H = self.n_heads
@@ -411,7 +429,7 @@ class RGCNConv(nn.Module):
     @nn.compact
     def __call__(
         self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-        deterministic: bool = True, se=None,
+        deterministic: bool = True, se=None, pe=None,
     ):
         T, C, Din = x.shape
         N = T * C
@@ -459,6 +477,7 @@ class GeneralConv(nn.Module):
     remat: bool = False
     edge_impl: str = "segment"
     save_kv: bool = False
+    graph_axis: str = ""
 
     def setup(self):
         kw = dict(in_dim=self.in_dim, out_dim=self.out_dim)
@@ -473,6 +492,7 @@ class GeneralConv(nn.Module):
             remat=self.remat,
             edge_impl=self.edge_impl,
             save_kv=self.save_kv,
+            graph_axis=self.graph_axis,
         )
         if self.conv_name == "hgt":
             self.base_conv = HGTConv(**hkw)

@@ -39,6 +39,7 @@ class GNN(nn.Module):
     remat: bool = False
     edge_impl: str = "segment"
     save_kv: bool = False
+    graph_axis: str = ""
 
     def setup(self):
         self.adapt_w = self.param(
@@ -66,6 +67,7 @@ class GNN(nn.Module):
                     remat=self.remat,
                     edge_impl=self.edge_impl,
                     save_kv=self.save_kv,
+                    graph_axis=self.graph_axis,
                 )
             )
         self.convs = convs
@@ -81,6 +83,7 @@ class GNN(nn.Module):
         em: EdgeStaticMeta,
         deterministic: bool = True,
         se=None,
+        pe=None,
     ):
         h = jnp.tanh(typed_linear(node_feat, self.adapt_w, self.adapt_b))
         h = self.drop(h, deterministic=deterministic)
@@ -88,7 +91,7 @@ class GNN(nn.Module):
         for conv in self.convs:
             h = conv(
                 h, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-                deterministic=deterministic, se=se,
+                deterministic=deterministic, se=se, pe=pe,
             )
         return h
 

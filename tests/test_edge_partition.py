@@ -106,3 +106,46 @@ def test_partitioned_gradients_match(env):
             np.asarray(g_part[0][k]), np.asarray(g_ref[0][k]),
             rtol=5e-3, atol=5e-4, err_msg=k,
         )
+
+
+def test_partitioned_gnn_model_matches(env):
+    """Whole-GNN forward under shard_map(graph axis) == sorted-path GNN."""
+    import flax.linen as fnn
+    from pyhgt_tpu.models import GNN
+    from pyhgt_tpu.utils.synth import synth_batch
+
+    layout, em, batch, se, pe, P_, mesh = env
+    kw = dict(
+        in_dim=24, n_hid=24, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=2,
+        dropout=0.0, prev_norm=True, last_norm=True,
+    )
+    gnn_sorted = GNN(**kw, edge_impl="sorted")
+    gnn_part = GNN(**kw, graph_axis="graph")
+
+    x = jnp.asarray(batch.node_feat)
+    nmask = jnp.asarray(batch.node_mask)
+    dummy = jnp.zeros_like(se.edge_tgt)
+    params = gnn_sorted.init(
+        jax.random.key(0), x, dummy, dummy, dummy,
+        jnp.asarray(se.edge_mask), nmask, em, se=se,
+    )
+    ref = gnn_sorted.apply(
+        params, x, dummy, dummy, dummy, jnp.asarray(se.edge_mask),
+        nmask, em, se=se,
+    )
+
+    def inner(p, x_, pe_local):
+        pe1 = jax.tree.map(lambda a: a[0], pe_local)
+        d = jnp.zeros((1,), jnp.int32)  # unused edge args under pe path
+        return gnn_part.apply(
+            p, x_, d, d, d, jnp.zeros((1,), bool), nmask, em, pe=pe1
+        )
+
+    f = shard_map(
+        inner, mesh=mesh, in_specs=(P(), P(), P("graph")), out_specs=P(),
+        check_rep=False,
+    )
+    out = f(params, x, pe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
