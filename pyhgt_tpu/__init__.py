@@ -29,3 +29,13 @@ from pyhgt_tpu.sampling import (  # noqa: F401
     PadSpec,
     SubgraphBatch,
 )
+from pyhgt_tpu.config import ExperimentConfig, PRESETS  # noqa: F401
+
+
+def __getattr__(name):  # lazy heavyweight subpackages (jax import cost)
+    import importlib
+
+    if name in ("models", "ops", "tasks", "train", "parallel", "datasets",
+                "experiments", "flagship"):
+        return importlib.import_module(f"pyhgt_tpu.{name}")
+    raise AttributeError(name)

@@ -166,6 +166,9 @@ def run_node_classification(
     tb0 = task.sample(train_pairs, splits["train"], rng0)
     args0, _ = to_args(tb0)
     params = model.init(jax.random.key(cfg.seed), *args0[:-1], em, se=args0[-1])
+    from pyhgt_tpu.utils.experiment import get_n_params
+
+    log(f"model parameters: {get_n_params(params):,}")
     tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
     state = TrainState.create(params, tx)
 
