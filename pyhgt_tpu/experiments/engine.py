@@ -131,8 +131,11 @@ def run_node_classification(
     splits: Optional[Dict[str, TimeSplit]] = None,
     feature_fn: Optional[Callable] = None,
     log: Callable[[str], None] = print,
+    resume: bool = False,
 ) -> Dict:
-    """paper-field / paper-venue training + test (scripts #16/#17)."""
+    """paper-field / paper-venue training + test (scripts #16/#17).
+    ``resume=True`` continues from the per-epoch 'latest' checkpoint —
+    the crash-recovery story the reference lacks (SURVEY.md §5)."""
     splits = splits or OAG_SPLITS
     sampler = make_sampler(cfg, graph)
     layout = make_layout(cfg, graph)
@@ -206,6 +209,16 @@ def run_node_classification(
     ckpt = BestCheckpointPolicy(
         os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
     )
+    latest_path = os.path.join(
+        cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}_latest"
+    )
+    start_epoch = 0
+    if resume and os.path.exists(latest_path):
+        from pyhgt_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(latest_path, state)
+        start_epoch = int(state.step) // (cfg.n_batch * cfg.repeat)
+        log(f"resumed from {latest_path} at epoch {start_epoch}")
     sample_fn = task.make_sample_fn(train_pairs, splits["train"])
     history = []
     with PrefetchLoader(
@@ -213,7 +226,7 @@ def run_node_classification(
     ) as loader:
         it = iter(loader)
         rng_eval = np.random.default_rng(cfg.seed + 1)
-        for epoch in range(cfg.n_epoch):
+        for epoch in range(start_epoch, cfg.n_epoch):
             t0 = time.time()
             losses = []
             for b in range(cfg.n_batch * cfg.repeat):
@@ -227,6 +240,9 @@ def run_node_classification(
             train_loss = float(np.mean([float(l) for l in losses]))
             ndcg, mrr = eval_metrics(state, valid_pairs, splits["valid"], rng_eval)
             best = ckpt.update(ndcg, state)
+            from pyhgt_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(latest_path, state)  # crash-restart point
             history.append(dict(epoch=epoch, loss=train_loss, valid_ndcg=ndcg,
                                 valid_mrr=mrr, best=best, secs=time.time() - t0))
             log(f"epoch {epoch}: loss {train_loss:.4f} valid NDCG {ndcg:.4f} "

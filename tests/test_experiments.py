@@ -160,3 +160,22 @@ def test_checkpoint_resume_continues_training(toy_env, tmp_path):
     for _ in range(3):
         s3, _ = step(s3, key, X, Y)
     np.testing.assert_allclose(np.asarray(s3.params["w"]), w_cont, rtol=1e-6)
+
+
+def test_engine_resume_midway(toy_env, tmp_path):
+    """Training interrupted after epoch 1 resumes at epoch 1 (not 0)."""
+    logs = []
+    cfg = _tiny_cfg(tmp_path, task_name="resume_toy", n_epoch=1)
+    run_node_classification(
+        cfg, toy_env, label_meta=("venue", "paper", "PV_in"),
+        multi_label=True, log=logs.append,
+    )
+    cfg2 = cfg.replace(n_epoch=3)
+    logs2 = []
+    out = run_node_classification(
+        cfg2, toy_env, label_meta=("venue", "paper", "PV_in"),
+        multi_label=True, log=logs2.append, resume=True,
+    )
+    assert any("resumed" in l for l in logs2)
+    epochs = [h["epoch"] for h in out["history"]]
+    assert epochs[0] == 1 and epochs[-1] == 2

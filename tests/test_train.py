@@ -178,3 +178,20 @@ def test_debug_nans_toggle():
     with debug_nans(True):
         assert _jax.config.jax_debug_nans
     assert not _jax.config.jax_debug_nans
+
+
+def test_misc_utils(tmp_path, capsys):
+    from pyhgt_tpu.utils.experiment import args_print, get_n_params, randint
+    from pyhgt_tpu.utils.plot import plot_history
+
+    args_print({"n_hid": 64, "lr": 1e-3})
+    out = capsys.readouterr().out
+    assert "n_hid" in out and "64" in out
+    assert get_n_params({"a": np.ones((3, 4)), "b": np.ones(5)}) == 17
+    s = randint()
+    assert 0 <= s < 2**31
+    p = plot_history(
+        [{"epoch": 0, "loss": 1.0}, {"epoch": 1, "loss": 0.5}],
+        str(tmp_path / "h.png"),
+    )
+    assert p is None or p.endswith(".png")
