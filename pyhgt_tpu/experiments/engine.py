@@ -271,6 +271,7 @@ def run_ogbn(
     log: Callable[[str], None] = print,
     eval_mode: str = "variance_reduce",
     max_eval_nodes: Optional[int] = None,
+    resume: bool = False,
 ) -> Dict:
     """ogbn-mag training + VR/sequential eval (scripts #19/#20)."""
     sampler = make_sampler(cfg, graph)
@@ -311,6 +312,16 @@ def run_ogbn(
     ckpt = BestCheckpointPolicy(
         os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
     )
+    latest_path = os.path.join(
+        cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}_latest"
+    )
+    start_epoch = 0
+    if resume and os.path.exists(latest_path):
+        from pyhgt_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(latest_path, state)
+        start_epoch = int(state.step) // (cfg.n_batch * cfg.repeat)
+        log(f"resumed from {latest_path} at epoch {start_epoch}")
     history = []
     with PrefetchLoader(
         task.make_sample_fn("train"), n_workers=cfg.n_pool,
@@ -318,7 +329,7 @@ def run_ogbn(
     ) as loader:
         it = iter(loader)
         rng_eval = np.random.default_rng(cfg.seed + 1)
-        for epoch in range(cfg.n_epoch):
+        for epoch in range(start_epoch, cfg.n_epoch):
             t0 = time.time()
             losses = []
             for b in range(cfg.n_batch * cfg.repeat):
@@ -344,6 +355,9 @@ def run_ogbn(
                                           np.asarray(vtb.label_mask)))
             vacc = float(np.mean(accs))
             best = ckpt.update(vacc, state)
+            from pyhgt_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(latest_path, state)
             history.append(dict(epoch=epoch, loss=train_loss, valid_acc=vacc,
                                 best=best, secs=time.time() - t0))
             log(f"epoch {epoch}: loss {train_loss:.4f} valid acc {vacc:.4f}"

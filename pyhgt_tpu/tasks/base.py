@@ -52,8 +52,11 @@ def build_time_split_pairs(
     ``meta`` is target-indexed: e.g. ``('paper', 'field', 'rev_PF_in_L2')``
     collects each paper's fields (the reference iterates the same relation,
     ``OAG/train_paper_field.py:161-177``; like the reference, a target whose
-    edges span splits keeps the *last seen* time per split).
+    edges span splits keeps the *last seen* time per split). Untimed edges
+    are excluded — the reference's if/elif chain silently dumps them into
+    the TEST split (``:165-177``), which is an accident we do not copy.
     """
+    from pyhgt_tpu.graph.container import NO_TIME
     adj = graph.adj[meta]
     out: Dict[str, Dict[int, Tuple[List[int], int]]] = {k: {} for k in splits}
     n_tgt = adj.indptr.shape[0] - 1
@@ -63,8 +66,9 @@ def build_time_split_pairs(
             continue
         srcs = adj.src[lo:hi]
         times = adj.time[lo:hi]
+        timed = times != NO_TIME
         for name, split in splits.items():
-            m = split.contains(times)
+            m = split.contains(times) & timed
             if not m.any():
                 continue
             cell = out[name].get(tgt)
