@@ -5,12 +5,15 @@ with duplicate indices to a serialized update loop — ~50 ns/edge, which
 made the jnp path ~23 ms/layer on a 226k-edge batch. This module removes
 every scatter from both forward AND backward:
 
-- per-segment reductions become **prefix-sum differences at CSR
-  boundaries** (``seg_ptr`` precomputed on host by
-  :func:`pyhgt_tpu.sampling.sorted_batch.sort_batch`): cumsum lowers to
-  reduce-window on TPU, boundaries are plain gathers;
-- the per-segment max for softmax stability uses a **segmented
-  associative scan** on the small ``[E, H]`` score tensor;
+- per-segment reductions use a **hierarchical tiled scheme**
+  (:func:`seg_sum_tiled`): per-128-edge tile, a one-hot [K,K] MXU matmul
+  produces per-(tile, local-rank) partials; the ≤ S+E/128 live partial
+  rows (segment-ordered by construction, host aux from
+  :func:`pyhgt_tpu.sampling.sorted_batch.sort_batch`) finish with a
+  small cumsum-diff. Prefix sums themselves are lower-triangular MXU
+  matmuls (:func:`fast_cumsum`);
+- the per-segment max for softmax stability is a shift-based segmented
+  scan, 7 in-tile steps + a tiny second level (:func:`seg_max_tiled`);
 - gather *transposes* in the backward (normally scatter-adds) become
   sorted segment sums under the host-precomputed secondary permutations
   ``perm_src`` / ``perm_tab`` — the CSC view of the same edges;
@@ -187,15 +190,6 @@ def _attention(q_e, k_e, pri_e, mask, H, dk):
     att = pre * pri_e.astype(jnp.float32)
     att = jnp.where(mask[:, None], att, NEG)
     return pre, att
-
-
-def _softmax_sorted(att, edge_tgt, seg_ptr_tgt, mask):
-    m_n = seg_max_csr(att, edge_tgt, seg_ptr_tgt)          # [N, H]
-    m_e = m_n[edge_tgt]
-    ex = jnp.exp(att - m_e) * mask[:, None]
-    den_n = seg_sum_csr(ex, seg_ptr_tgt)                   # [N, H]
-    den_e = jnp.maximum(den_n[edge_tgt], 1e-30)  # >min normal f32: subnormals flush to 0 -> 0/0
-    return ex / den_e
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
