@@ -6,7 +6,10 @@ per-relation banks instead of ModuleLists of Linears, and every forward is a
 single traced XLA program over the static padded batch layout.
 """
 
-from pyhgt_tpu.models.conv import HGTConv, DenseHGTConv, GCNConv, GATConv, RGCNConv, GeneralConv
+from pyhgt_tpu.models.conv import (
+    HGTConv, DenseHGTConv, GCNConv, GATConv, RGCNConv, HANConv, HetGNNConv,
+    GeneralConv,
+)
 from pyhgt_tpu.models.model import GNN, Classifier, Matcher
 from pyhgt_tpu.models.composite import NodeClassifierModel, LinkMatcherModel
 
@@ -16,6 +19,8 @@ __all__ = [
     "GCNConv",
     "GATConv",
     "RGCNConv",
+    "HANConv",
+    "HetGNNConv",
     "GeneralConv",
     "GNN",
     "Classifier",

@@ -458,6 +458,99 @@ class RGCNConv(nn.Module):
         return out.reshape(T, C, self.out_dim) * node_mask[..., None]
 
 
+class HANConv(nn.Module):
+    """HAN-style layer — advertised but UNIMPLEMENTED in the reference CLI
+    (``OAG/train_paper_field.py:28``); implemented here.
+
+    Hierarchical attention (Wang et al. 2019) adapted to the edge-block
+    layout: node-level GAT attention runs *per relation* (each relation
+    plays the role of a meta-path graph), then semantic-level attention
+    combines the per-relation embeddings with weights
+    ``beta_r = softmax_r(mean_n q . tanh(W h_r[n] + b))``.
+    """
+
+    in_dim: int
+    out_dim: int
+    num_relations: int
+    n_heads: int = 4
+    negative_slope: float = 0.2
+    sem_dim: int = 128
+
+    @nn.compact
+    def __call__(
+        self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
+        deterministic: bool = True, se=None, pe=None,
+    ):
+        T, C, _ = x.shape
+        H = self.n_heads
+        dk = self.out_dim // H
+        N = T * C
+        R = self.num_relations
+        h = nn.Dense(self.out_dim, use_bias=False)(x).reshape(N, H, dk)
+        a_src = self.param("a_src", nn.initializers.lecun_normal(), (R, H, dk))
+        a_tgt = self.param("a_tgt", nn.initializers.lecun_normal(), (R, H, dk))
+        rel = jnp.asarray(em.edge_rel)
+        e = (
+            jnp.einsum("ehk,ehk->eh", h[edge_src], a_src[rel])
+            + jnp.einsum("ehk,ehk->eh", h[edge_tgt], a_tgt[rel])
+        )
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        # node-level attention within each relation: segment key mixes the
+        # target node and the relation so softmax never crosses relations
+        seg = edge_tgt * R + rel
+        w = segment_softmax(e, seg, N * R, mask=edge_mask)
+        msg = (w[:, :, None] * h[edge_src]).reshape(-1, self.out_dim)
+        h_rel = segment_sum(msg, seg, N * R, mask=edge_mask)
+        h_rel = h_rel.reshape(N, R, self.out_dim)
+        # semantic attention over relations (graph-level weights)
+        proj = jnp.tanh(nn.Dense(self.sem_dim)(h_rel))
+        q = self.param("sem_q", nn.initializers.lecun_normal(), (self.sem_dim, 1))
+        nm = node_mask.reshape(N, 1, 1)
+        scores = jnp.sum((proj @ q) * nm, axis=0) / jnp.maximum(nm.sum(), 1.0)
+        beta = jax.nn.softmax(scores.reshape(R))
+        out = jnp.einsum("nrd,r->nd", h_rel, beta)
+        return out.reshape(T, C, self.out_dim) * node_mask[..., None]
+
+
+class HetGNNConv(nn.Module):
+    """HetGNN-style layer — advertised but UNIMPLEMENTED in the reference
+    CLI; implemented here.
+
+    Zhang et al. 2019 adapted to static layouts: neighbors aggregate
+    per *source type* (content mean in place of the paper's BiLSTM),
+    then type-level attention combines the per-type aggregates with the
+    node's own transform.
+    """
+
+    in_dim: int
+    out_dim: int
+    num_types: int
+
+    @nn.compact
+    def __call__(
+        self, x, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
+        deterministic: bool = True, se=None, pe=None,
+    ):
+        T, C, _ = x.shape
+        N = T * C
+        h = nn.Dense(self.out_dim)(x).reshape(N, self.out_dim)
+        # mean aggregate per source type (segment key = tgt * T + src_type)
+        stype = jnp.asarray(em.block_src)[jnp.asarray(em.edge_block)]
+        seg = edge_tgt * T + stype
+        ones = jnp.where(edge_mask, 1.0, 0.0)
+        cnt = segment_sum(ones, seg, N * T)
+        agg = segment_sum(h[edge_src] * ones[:, None], seg, N * T)
+        agg = agg / jnp.maximum(cnt, 1.0)[:, None]
+        agg = agg.reshape(N, T, self.out_dim)
+        # type-level attention incl. the self embedding
+        cand = jnp.concatenate([h[:, None, :], agg], axis=1)     # [N, T+1, D]
+        a = self.param("a", nn.initializers.lecun_normal(), (self.out_dim, 1))
+        scores = nn.leaky_relu((cand * h[:, None, :]) @ a, negative_slope=0.2)
+        alpha = jax.nn.softmax(scores, axis=1)                   # [N, T+1, 1]
+        out = jnp.sum(alpha * cand, axis=1)
+        return out.reshape(T, C, self.out_dim) * node_mask[..., None]
+
+
 class GeneralConv(nn.Module):
     """Uniform layer dispatcher (``pyHGT/conv.py:303-324``): one call
     signature for heterogeneous (hgt/dense_hgt) and homogeneous (gcn/gat)
@@ -504,11 +597,17 @@ class GeneralConv(nn.Module):
             self.base_conv = GATConv(**kw, n_heads=self.n_heads, dropout=self.dropout)
         elif self.conv_name == "rgcn":
             self.base_conv = RGCNConv(**kw, num_relations=self.num_relations)
+        elif self.conv_name == "han":
+            self.base_conv = HANConv(
+                **kw, num_relations=self.num_relations, n_heads=self.n_heads
+            )
+        elif self.conv_name == "hetgnn":
+            self.base_conv = HetGNNConv(**kw, num_types=self.num_types)
         else:
             raise NotImplementedError(
-                f"conv_name {self.conv_name!r} not supported (the reference "
-                "advertises han/hetgnn but does not implement them; here "
-                "rgcn IS implemented)"
+                f"conv_name {self.conv_name!r} not supported; available: "
+                "hgt, dense_hgt, gcn, gat, rgcn, han, hetgnn (the reference "
+                "advertises rgcn/han/hetgnn without implementing any)"
             )
 
     def __call__(self, *args, **kwargs):

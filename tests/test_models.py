@@ -50,7 +50,7 @@ def _rand_batch(layout, rng, din=12):
     return x, es, et, dt, mask, node_mask
 
 
-@pytest.mark.parametrize("conv_name", ["hgt", "dense_hgt", "gcn", "gat", "rgcn"])
+@pytest.mark.parametrize("conv_name", ["hgt", "dense_hgt", "gcn", "gat", "rgcn", "han", "hetgnn"])
 def test_gnn_forward_shapes_and_mask(layout, rng, conv_name):
     em = EdgeStaticMeta.from_layout(layout)
     x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
@@ -88,7 +88,7 @@ def test_gnn_padding_invariance(layout, rng):
 def test_unimplemented_conv_raises(layout):
     with pytest.raises(NotImplementedError):
         GeneralConv(
-            conv_name="han", in_dim=8, out_dim=8, num_types=1,
+            conv_name="nope", in_dim=8, out_dim=8, num_types=1,
             num_relations=1, n_heads=1,
         ).init(jax.random.key(0))
 
