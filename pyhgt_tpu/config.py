@@ -58,7 +58,9 @@ class ExperimentConfig:
 
     # -- padding (TPU static shapes; no reference analogue) ---------------
     node_cap: Optional[int] = None     # default: seeds + depth*width
-    edge_cap: Optional[int] = None     # default: calibrated
+    edge_cap: Optional[int] = None     # default: node_cap * 8
+    calibrate_caps: bool = False       # measure real sample draws to size
+                                       # per-meta edge caps (PadSpec.calibrate)
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -69,7 +69,19 @@ def make_sampler(cfg: ExperimentConfig, graph: CSRGraph):
     return HGSampler(graph, depth=cfg.sample_depth, width=cfg.sample_width)
 
 
-def make_layout(cfg: ExperimentConfig, graph: CSRGraph) -> BatchLayout:
+def make_layout(
+    cfg: ExperimentConfig,
+    graph: CSRGraph,
+    sampler=None,
+    seeds_fn=None,
+) -> BatchLayout:
+    if cfg.calibrate_caps and sampler is not None and seeds_fn is not None:
+        # size per-meta edge caps from measured draws (PadSpec.calibrate);
+        # overflow beyond the cap is subsampled by pad_sample anyway
+        pad = PadSpec.calibrate(sampler, seeds_fn)
+        if cfg.node_cap:
+            pad = dataclasses.replace(pad, node_cap=cfg.node_cap)
+        return BatchLayout(schema=graph.schema, pad=pad)
     node_cap = cfg.node_cap or (
         cfg.batch_size + cfg.sample_depth * cfg.sample_width
     )
@@ -275,7 +287,15 @@ def run_ogbn(
 ) -> Dict:
     """ogbn-mag training + VR/sequential eval (scripts #19/#20)."""
     sampler = make_sampler(cfg, graph)
-    layout = make_layout(cfg, graph)
+    _crng = np.random.default_rng(cfg.seed + 7)
+    _years = np.asarray(graph.aux["years"]).reshape(-1)
+
+    def _cal_seeds():
+        pick = _crng.choice(len(_years), min(cfg.batch_size, len(_years)),
+                            replace=False)
+        return {"paper": np.stack([pick, _years[pick]], axis=1)}
+
+    layout = make_layout(cfg, graph, sampler=sampler, seeds_fn=_cal_seeds)
     em = EdgeStaticMeta.from_layout(layout)
     task = OgbnNodeTask(
         graph=graph, sampler=sampler, layout=layout, batch_size=cfg.batch_size

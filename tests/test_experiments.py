@@ -179,3 +179,18 @@ def test_engine_resume_midway(toy_env, tmp_path):
     assert any("resumed" in l for l in logs2)
     epochs = [h["epoch"] for h in out["history"]]
     assert epochs[0] == 1 and epochs[-1] == 2
+
+
+def test_calibrated_caps(toy_env, tmp_path):
+    rng = np.random.default_rng(2)
+    n = toy_env.num_nodes["paper"]
+    toy_env.aux.update(
+        y=rng.integers(0, 4, n), years=np.full(n, 2015),
+        train_mask=rng.random(n) < 0.6,
+        valid_mask=(rng.random(n) < 0.2),
+        test_mask=(rng.random(n) < 0.2),
+    )
+    cfg = _tiny_cfg(tmp_path, task_name="cal_toy", n_epoch=1,
+                    calibrate_caps=True, edge_cap=None)
+    out = run_ogbn(cfg, toy_env, log=lambda s: None, max_eval_nodes=8)
+    assert 0.0 <= out["test"]["acc"] <= 1.0
