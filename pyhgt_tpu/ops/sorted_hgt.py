@@ -336,6 +336,9 @@ def hgt_conv_core_sorted(
     H, dk = n_heads, Dout // n_heads
     N = T * C
 
+    # NOTE: fusing Q/K/V into one [T,Din,3D] matmul and K|V relation
+    # transforms into one stacked einsum was measured SLOWER (312 vs
+    # 304 ms/step) — the stack/split copies outweigh the fusion.
     q = typed_linear(x, wq, bq).reshape(T, C, H, dk)
     k = typed_linear(x, wk, bk).reshape(T, C, H, dk)
     v = typed_linear(x, wv, bv).reshape(T, C, H, dk)
