@@ -123,3 +123,29 @@ def test_sorted_gradients_match(env):
             np.asarray(g_sort[0][k]), np.asarray(g_ref[0][k]),
             rtol=5e-3, atol=5e-4, err_msg=k,
         )
+
+
+def test_dense_hgt_sorted_matches_segment(env):
+    """DenseHGTConv produces identical outputs on both edge paths."""
+    import flax.linen as fnn
+
+    from pyhgt_tpu.models import DenseHGTConv
+
+    layout, em, batch, se = env
+    x = jnp.asarray(batch.node_feat)
+    nmask = jnp.asarray(batch.node_mask)
+    kw = dict(
+        in_dim=24, out_dim=24, num_types=layout.num_types,
+        num_relations=layout.schema.num_relations, n_heads=4, dropout=0.0,
+    )
+    seg = DenseHGTConv(**kw, edge_impl="segment")
+    srt = DenseHGTConv(**kw, edge_impl="sorted")
+    args = (
+        x, jnp.asarray(batch.edge_src), jnp.asarray(batch.edge_tgt),
+        jnp.asarray(batch.edge_dt), jnp.asarray(batch.edge_mask), nmask, em,
+    )
+    params = seg.init(jax.random.key(0), *args)
+    o1 = seg.apply(params, *args)
+    o2 = srt.apply(params, *args, se=se)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=3e-4, atol=3e-4)
