@@ -178,3 +178,55 @@ def test_dropout_active_in_training_mode(layout, rng):
         rngs={"dropout": jax.random.key(2)},
     )
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_empty_type_batch_is_safe(layout, rng):
+    """A batch where one node type has zero valid nodes must stay finite
+    on both edge paths (padded LayerNorm / empty segments are the risk)."""
+    from pyhgt_tpu.sampling.batch import SubgraphBatch
+    from pyhgt_tpu.sampling.sorted_batch import sort_batch
+
+    em = EdgeStaticMeta.from_layout(layout)
+    T, C = layout.num_types, layout.node_cap
+    din = 12
+    x = np.zeros((T, C, din), np.float32)
+    node_mask = np.zeros((T, C), bool)
+    x[0, :4] = rng.normal(size=(4, din))
+    node_mask[0, :4] = True  # only papers; authors/venues empty
+    E = layout.num_edges
+    es = np.zeros(E, np.int32)
+    et = np.zeros(E, np.int32)
+    dt = np.full(E, 120, np.int32)
+    mask = np.zeros(E, bool)
+    for b in layout.blocks:  # only paper-paper blocks get edges
+        if b.tgt_type_id == 0 and b.src_type_id == 0:
+            for j in range(min(4, b.cap)):
+                i = b.start + j
+                et[i] = rng.integers(0, 4)
+                es[i] = rng.integers(0, 4)
+                mask[i] = True
+    model = GNN(
+        in_dim=din, n_hid=16, num_types=T,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=2,
+        prev_norm=True, last_norm=True,
+    )
+    params = model.init(jax.random.key(0), x, es, et, dt, mask, node_mask, em)
+    out = model.apply(params, x, es, et, dt, mask, node_mask, em)
+    assert np.isfinite(np.asarray(out)).all()
+
+    model_s = GNN(
+        in_dim=din, n_hid=16, num_types=T,
+        num_relations=layout.schema.num_relations, n_heads=4, n_layers=2,
+        prev_norm=True, last_norm=True, edge_impl="sorted",
+    )
+    sub = SubgraphBatch(
+        node_feat=x, node_time=np.zeros((T, C), np.int32), node_mask=node_mask,
+        edge_src=es, edge_tgt=et, edge_dt=dt, edge_mask=mask,
+        block_overflow=np.zeros(1, np.int32),
+    )
+    se = sort_batch(sub, layout, em)
+    params_s = model_s.init(
+        jax.random.key(0), x, es, et, dt, mask, node_mask, em, se=se
+    )
+    out_s = model_s.apply(params_s, x, es, et, dt, mask, node_mask, em, se=se)
+    assert np.isfinite(np.asarray(out_s)).all()
