@@ -23,6 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir (eval_ogbn_mag)")
     p.add_argument("--eval_mode", default="variance_reduce",
                    choices=["variance_reduce", "sequential"])
+    p.add_argument("--features", default="oag", choices=["oag", "mag"],
+                   help="feature extractor for OAG tasks (oag = node_emb||"
+                        "emb||log-citation concat; mag = plain emb gather)")
+    p.add_argument("--label_meta", default=None,
+                   help="label meta-relation as 'tgt_type,src_type,rel' "
+                        "(defaults: field,paper,PF_in_L2 for paper_field; "
+                        "venue,paper,PV_Journal for paper_venue)")
     p.add_argument("--data", dest="data_path", required=True,
                    help="CSRGraph pickle, or a reference .pk (auto-converted)")
     ref = ExperimentConfig()
@@ -74,17 +81,25 @@ def main(argv=None) -> int:
         run_node_classification,
         run_ogbn,
     )
-    from pyhgt_tpu.datasets.features import feature_oag
+    from pyhgt_tpu.datasets.features import feature_mag, feature_oag
+
+    feat = feature_oag if args.features == "oag" else feature_mag
+
+    def _label_meta(default):
+        if args.label_meta:
+            return tuple(args.label_meta.split(","))
+        return default
 
     if args.task == "paper_field":
         run_node_classification(
-            cfg, graph, label_meta=("field", "paper", "PF_in_L2"),
-            multi_label=True, feature_fn=feature_oag,
+            cfg, graph, label_meta=_label_meta(("field", "paper", "PF_in_L2")),
+            multi_label=True, feature_fn=feat,
         )
     elif args.task == "paper_venue":
         run_node_classification(
-            cfg, graph, label_meta=("venue", "paper", "PV_Journal"),
-            multi_label=False, feature_fn=feature_oag,
+            cfg, graph,
+            label_meta=_label_meta(("venue", "paper", "PV_Journal")),
+            multi_label=False, feature_fn=feat,
         )
     elif args.task == "author_disambiguation":
         run_author_disambiguation(cfg, graph)

@@ -194,3 +194,22 @@ def test_calibrated_caps(toy_env, tmp_path):
                     calibrate_caps=True, edge_cap=None)
     out = run_ogbn(cfg, toy_env, log=lambda s: None, max_eval_nodes=8)
     assert 0.0 <= out["test"]["acc"] <= 1.0
+
+
+def test_cli_main_end_to_end(toy_env, tmp_path, monkeypatch):
+    """python -m pyhgt_tpu.run paper_venue on a saved CSRGraph, in-process."""
+    from pyhgt_tpu.run import main
+
+    gpath = str(tmp_path / "toy.pk")
+    toy_env.save(gpath)
+    rc = main([
+        "paper_venue", "--data", gpath,
+        "--label_meta", "venue,paper,PV_in", "--features", "mag",
+        "--n_hid", "16", "--n_heads", "4", "--n_layers", "2",
+        "--sample_depth", "2", "--sample_width", "8",
+        "--batch_size", "8", "--n_batch", "2", "--repeat", "1",
+        "--n_pool", "2", "--n_epoch", "1",
+        "--node_cap", "64", "--edge_cap", "128",
+        "--no-native_sampler", "--model_dir", str(tmp_path),
+    ])
+    assert rc == 0

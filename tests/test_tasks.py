@@ -259,3 +259,55 @@ def test_distributed_initialize_single_host():
     info = initialize()
     assert info["process_count"] == 1
     assert info["global_devices"] >= 1
+
+
+def test_link_model_with_matcher_index(task_env):
+    """Serving flow: GNN representations -> candidate index -> top-k
+    (the reference's million-candidate ranking, done with explicit
+    invalidation)."""
+    from pyhgt_tpu.models import LinkMatcherModel, Matcher
+    from pyhgt_tpu.sampling.sorted_batch import sort_batch
+    from pyhgt_tpu.tasks.link_prediction import build_link_pairs, build_name_groups
+    from pyhgt_tpu.tasks import LinkPredictionTask, TimeSplit
+    from pyhgt_tpu.tasks.matcher_index import MatcherIndex
+
+    csr, sampler, layout, em = task_env
+    groups = build_name_groups(
+        csr, ("author", "paper", "rev_AP_write"), min_papers=1, min_group=3
+    )
+    pairs = build_link_pairs(csr, groups, SPLITS, ("author", "paper", "rev_AP_write"))
+    task = LinkPredictionTask(
+        graph=csr, sampler=sampler, layout=layout, groups=groups,
+        write_meta=("paper", "author", "AP_write"), batch_size=8, max_group=8,
+    )
+    rng = np.random.default_rng(0)
+    tb = task.sample(pairs["train"], SPLITS["train"], rng)
+    se = sort_batch(tb.sub, layout, em)
+    model = LinkMatcherModel(
+        gnn_kwargs=_gnn_kwargs(layout), n_hid=16,
+        query_type_id=layout.schema.type_id("paper"), n_query=8,
+    )
+    params = model.init(
+        jax.random.key(0), *tb.batch_args, em, tb.cand_idx, se=se,
+        method=LinkMatcherModel.score_pairs,
+    )
+    # author representations from the GNN
+    h = model.apply(
+        params, *tb.batch_args, em, se=se,
+        method=lambda m, *a, **k: m.gnn(*a, **k),
+    )
+    a_ti = layout.schema.type_id("author")
+    authors = np.asarray(h[a_ti])
+    queries = np.asarray(h[layout.schema.type_id("paper")][:8])
+
+    idx = MatcherIndex(
+        matcher_apply=lambda p, x: model.apply(
+            p, x, method=lambda m, xx: m.matcher.left(xx)
+        )
+    ).build(params, authors, batch=16)
+    q_emb = model.apply(
+        params, queries, method=lambda m, xx: m.matcher.right(xx)
+    )
+    vals, ids = idx.score(q_emb, top_k=3)
+    assert np.asarray(vals).shape == (8, 3)
+    assert np.asarray(ids).max() < authors.shape[0]
