@@ -84,3 +84,26 @@ def test_native_edges_match_graph(native_env):
         for tl, sl in zip(tgt[:50], src[:50]):
             row, _ = adj.row(int(tids[tl]))
             assert int(sids[sl]) in row.tolist()
+
+
+def test_native_sampler_in_engine(tmp_path):
+    """The engine's native_sampler=True path end-to-end (C++ sampler
+    feeding the prefetch loader and the jit step)."""
+    import numpy as np
+
+    from pyhgt_tpu.config import ExperimentConfig
+    from pyhgt_tpu.experiments import run_node_classification
+    from tests.conftest import make_toy_graph
+
+    csr = make_toy_graph(n_paper=60, n_author=30, n_venue=5, seed=4).freeze()
+    cfg = ExperimentConfig(
+        task_name="native_toy", model_dir=str(tmp_path),
+        n_hid=16, n_heads=4, n_layers=2, sample_depth=2, sample_width=8,
+        batch_size=8, n_batch=2, repeat=1, n_pool=2, n_epoch=1,
+        node_cap=64, edge_cap=128, native_sampler=True, max_lr=1e-2,
+    )
+    out = run_node_classification(
+        cfg, csr, label_meta=("venue", "paper", "PV_in"), multi_label=True,
+        log=lambda s: None,
+    )
+    assert 0.0 <= out["test_ndcg"] <= 1.0

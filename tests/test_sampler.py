@@ -180,3 +180,56 @@ def test_pad_calibration(toy_csr):
     feats = {t: toy_csr.features[t]["emb"][ids] for t, ids in s.node_ids.items()}
     b = pad_sample(s, layout, feats)
     assert b.node_mask.any()
+
+
+def test_pad_sample_edge_overflow_subsamples(toy_csr):
+    """Edges beyond a block's cap are uniformly subsampled and the drop
+    count is recorded in block_overflow."""
+    import numpy as np
+
+    from pyhgt_tpu.graph.schema import PadSpec
+    from pyhgt_tpu.sampling.batch import BatchLayout, pad_sample
+    from pyhgt_tpu.sampling.hgsampler import HGSampler
+
+    s = HGSampler(toy_csr, depth=2, width=8)
+    rng = np.random.default_rng(0)
+    years = np.full(6, 2019)
+    raw = s.sample_raw({"paper": np.stack([np.arange(6), years], 1)}, rng=rng)
+    # tiny edge caps force overflow
+    layout = BatchLayout(
+        schema=toy_csr.schema, pad=PadSpec(node_cap=32, default_edge_cap=2)
+    )
+    feats = {
+        t: np.asarray(toy_csr.features[t]["emb"])[ids]
+        for t, ids in raw.node_ids.items() if len(ids)
+    }
+    batch = pad_sample(raw, layout, feats, rng=rng)
+    assert batch.block_overflow.sum() > 0
+    # per-block valid edges never exceed the cap
+    for b in layout.blocks:
+        assert np.asarray(batch.edge_mask[b.start:b.stop]).sum() <= b.cap
+
+
+def test_stack_batches(toy_csr):
+    import numpy as np
+
+    from pyhgt_tpu.graph.schema import PadSpec
+    from pyhgt_tpu.sampling.batch import BatchLayout, pad_sample, stack_batches
+    from pyhgt_tpu.sampling.hgsampler import HGSampler
+
+    s = HGSampler(toy_csr, depth=1, width=4)
+    layout = BatchLayout(
+        schema=toy_csr.schema, pad=PadSpec(node_cap=32, default_edge_cap=16)
+    )
+    batches = []
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        raw = s.sample_raw({"paper": np.array([[i, 2019]])}, rng=rng)
+        feats = {
+            t: np.asarray(toy_csr.features[t]["emb"])[ids]
+            for t, ids in raw.node_ids.items() if len(ids)
+        }
+        batches.append(pad_sample(raw, layout, feats, rng=rng))
+    stacked = stack_batches(batches)
+    assert stacked.node_feat.shape[0] == 3
+    assert stacked.edge_src.shape == (3, layout.num_edges)
