@@ -230,3 +230,40 @@ def test_empty_type_batch_is_safe(layout, rng):
     )
     out_s = model_s.apply(params_s, x, es, et, dt, mask, node_mask, em, se=se)
     assert np.isfinite(np.asarray(out_s)).all()
+
+
+def test_param_count_matches_published_reference():
+    """The reference publishes 21,173,389 params for the ogbn-mag recipe
+    (4 layers, n_hid 512, 8 heads, prev+last norm, RTE;
+    ``ogbn-mag/README.md:28-30``). Our trainable parameters match
+    one-for-one; the only difference is the frozen RTE sinusoidal table
+    (4 x 240 x 512 = 491,520), which the reference counts as parameters
+    (its requires_grad=False quirk, ``pyHGT/conv.py:295``) but is a
+    compile-time constant here."""
+    from pyhgt_tpu.flagship import flagship_schema
+    from pyhgt_tpu.models import NodeClassifierModel
+    from pyhgt_tpu.sampling.batch import BatchLayout
+    from pyhgt_tpu.utils.experiment import get_n_params
+    from pyhgt_tpu.utils.synth import synth_batch
+
+    T, R, H, L = 4, 9, 8, 4
+    Din, D, C = 129, 512, 349
+    schema = flagship_schema()
+    layout_ = BatchLayout(
+        schema=schema, pad=PadSpec(node_cap=16, default_edge_cap=32)
+    )
+    em = EdgeStaticMeta.from_layout(layout_)
+    batch = synth_batch(layout_, np.random.default_rng(0), din=Din,
+                        node_fill=0.5, edge_fill=0.5)
+    model = NodeClassifierModel(
+        gnn_kwargs=dict(in_dim=Din, n_hid=D, num_types=T, num_relations=R,
+                        n_heads=H, n_layers=L, prev_norm=True,
+                        last_norm=True, use_rte=True),
+        n_classes=C, target_type_id=0, head_mode="full",
+    )
+    params = model.init(
+        jax.random.key(0), batch.node_feat, batch.edge_src, batch.edge_tgt,
+        batch.edge_dt, batch.edge_mask, batch.node_mask, em,
+    )
+    frozen_rte_tables = L * 240 * D
+    assert get_n_params(params) + frozen_rte_tables == 21_173_389
