@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from pyhgt_tpu.parallel.mesh import DATA_AXIS
@@ -41,7 +41,7 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded_loss(params, rng, batch):
         local = jax.tree.map(lambda a: a[0], batch)

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
 from pyhgt_tpu.ops.hgt import EdgeStaticMeta
@@ -62,7 +62,7 @@ def _partitioned_fn(layout, em, mesh, use_rte):
         inner, mesh=mesh,
         in_specs=(P(), P("graph"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -144,7 +144,7 @@ def test_partitioned_gnn_model_matches(env):
 
     f = shard_map(
         inner, mesh=mesh, in_specs=(P(), P(), P("graph")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     out = f(params, x, pe)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
