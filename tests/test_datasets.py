@@ -125,21 +125,22 @@ def test_reference_pickle_roundtrip(tmp_path):
         "venue": {"emb": np.zeros((1, 3), np.float32)},
     }
     # emulate the reference pickle by renaming the class module/name
-    FakeRef.__module__ = "pyHGT.data"
+    # (GPT_GNN.data exercises the sibling-repo remap, pyHGT/data.py:263-265)
+    FakeRef.__module__ = "GPT_GNN.data"
     FakeRef.__qualname__ = FakeRef.__name__ = "Graph"
     import sys, types
 
-    mod = types.ModuleType("pyHGT")
-    mod_data = types.ModuleType("pyHGT.data")
+    mod = types.ModuleType("GPT_GNN")
+    mod_data = types.ModuleType("GPT_GNN.data")
     mod_data.Graph = FakeRef
-    sys.modules["pyHGT"] = mod
-    sys.modules["pyHGT.data"] = mod_data
+    sys.modules["GPT_GNN"] = mod
+    sys.modules["GPT_GNN.data"] = mod_data
     try:
         p = tmp_path / "g.pk"
         with open(p, "wb") as f:
             pickle.dump(ref, f)
     finally:
-        del sys.modules["pyHGT"], sys.modules["pyHGT.data"]
+        del sys.modules["GPT_GNN"], sys.modules["GPT_GNN.data"]
 
     csr = convert_reference_pickle(str(p))
     assert csr.num_nodes == {"paper": 4, "venue": 1}

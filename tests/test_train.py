@@ -195,3 +195,16 @@ def test_misc_utils(tmp_path, capsys):
         str(tmp_path / "h.png"),
     )
     assert p is None or p.endswith(".png")
+
+
+def test_profile_trace_writes_artifacts(tmp_path):
+    import jax as _jax
+
+    from pyhgt_tpu.train.log import profile_trace
+
+    d = str(tmp_path / "trace")
+    with profile_trace(d):
+        _jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    # the profiler writes a plugins/profile tree
+    found = list(os.walk(d))
+    assert any(files for _, _, files in found)
