@@ -172,12 +172,18 @@ def seg_max_tiled(data, seg_ids, live_last, live_key, seg_ptr2, K=_TILE):
 
 
 # --------------------------------------------------------------- edge stage
+def _rows(table, idx):
+    # indices are host-constructed and in-bounds by contract; skip XLA's
+    # clamp on every gather
+    return table.at[idx].get(mode="promise_in_bounds")
+
+
 def _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte):
-    k_e = k_rel[gidx]
-    v_e = v_rel[gidx]
+    k_e = _rows(k_rel, gidx)
+    v_e = _rows(v_rel, gidx)
     if use_rte:
-        k_e = k_e + k_tab[tabidx]
-        v_e = v_e + v_tab[tabidx]
+        k_e = k_e + _rows(k_tab, tabidx)
+        v_e = v_e + _rows(v_tab, tabidx)
     return k_e, v_e
 
 
@@ -221,7 +227,7 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     D = q_n.shape[-1]
     E = se.edge_tgt.shape[0]
     k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte)
-    q_e = q_n[se.edge_tgt]
+    q_e = _rows(q_n, se.edge_tgt)
     _pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk)
     w = _softmax_tiled(att, se)                              # [E, H]
     msg = (w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)).reshape(E, D)
@@ -252,11 +258,11 @@ def _edge_bwd(dims, res, g_aggr):
         k_e, v_e = _gather_kv(
             k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte
         )
-        q_e = q_n[se.edge_tgt]
+        q_e = _rows(q_n, se.edge_tgt)
     pre, _att = _attention(q_e, k_e, pri_e, mask, H, dk)   # pre = att / pri
 
     g_aggr = g_aggr.astype(jnp.float32)
-    g_msg = g_aggr[se.edge_tgt]                            # [E, D] gather
+    g_msg = _rows(g_aggr, se.edge_tgt)                            # [E, D] gather
     v_eh = v_e.astype(jnp.float32).reshape(E, H, dk)
     g_msg_h = g_msg.reshape(E, H, dk)
     g_w = jnp.sum(g_msg_h * v_eh, axis=-1)                 # [E, H]
@@ -277,17 +283,17 @@ def _edge_bwd(dims, res, g_aggr):
     # gather transposes as tiled segment sums (no scatter anywhere)
     g_q_n = seg_sum_tiled(g_q_e, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
     g_k_rel = seg_sum_tiled(
-        g_k_e[se.perm_src], se.tl_src, se.live_idx_src, se.seg_ptr2_src
+        _rows(g_k_e, se.perm_src), se.tl_src, se.live_idx_src, se.seg_ptr2_src
     )
     g_v_rel = seg_sum_tiled(
-        g_v_e[se.perm_src], se.tl_src, se.live_idx_src, se.seg_ptr2_src
+        _rows(g_v_e, se.perm_src), se.tl_src, se.live_idx_src, se.seg_ptr2_src
     )
     if use_rte:
         g_k_tab = seg_sum_tiled(
-            g_k_e[se.perm_tab], se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
+            _rows(g_k_e, se.perm_tab), se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
         )
         g_v_tab = seg_sum_tiled(
-            g_v_e[se.perm_tab], se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
+            _rows(g_v_e, se.perm_tab), se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
         )
     else:
         g_k_tab = jnp.zeros_like(k_tab)
