@@ -418,6 +418,7 @@ def run_author_disambiguation(
     write_meta=("paper", "author", "AP_write_first"),
     max_group: int = 32,
     log: Callable[[str], None] = print,
+    resume: bool = False,
 ) -> Dict:
     """Author disambiguation via grouped link prediction (script #18)."""
     splits = splits or OAG_SPLITS
@@ -482,6 +483,16 @@ def run_author_disambiguation(
     ckpt = BestCheckpointPolicy(
         os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
     )
+    latest_path = os.path.join(
+        cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}_latest"
+    )
+    start_epoch = 0
+    if resume and os.path.exists(latest_path):
+        from pyhgt_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(latest_path, state)
+        start_epoch = int(state.step) // (cfg.n_batch * cfg.repeat)
+        log(f"resumed from {latest_path} at epoch {start_epoch}")
     history = []
     with PrefetchLoader(
         task.make_sample_fn(pairs["train"], splits["train"]),
@@ -489,7 +500,7 @@ def run_author_disambiguation(
     ) as loader:
         it = iter(loader)
         rng_eval = np.random.default_rng(cfg.seed + 1)
-        for epoch in range(cfg.n_epoch):
+        for epoch in range(start_epoch, cfg.n_epoch):
             t0 = time.time()
             losses = []
             for b in range(cfg.n_batch * cfg.repeat):
@@ -504,6 +515,9 @@ def run_author_disambiguation(
             train_loss = float(np.mean([float(l) for l in losses]))
             ndcg, mrr = eval_metrics(state, pairs["valid"], splits["valid"], rng_eval)
             best = ckpt.update(ndcg, state)
+            from pyhgt_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(latest_path, state)
             history.append(dict(epoch=epoch, loss=train_loss, valid_ndcg=ndcg,
                                 valid_mrr=mrr, best=best, secs=time.time() - t0))
             log(f"epoch {epoch}: loss {train_loss:.4f} valid NDCG {ndcg:.4f} "
