@@ -83,5 +83,7 @@ PRESETS = {
         batch_size=128, n_batch=32, repeat=2,
         scheduler="onecycle", max_lr=5e-4, clip=1.0,
         n_epoch=100,
+        save_kv=True,  # custom-VJP residuals are node-level; saving the
+        # per-edge K/V/Q removes 3 backward HBM gathers per layer
     ),
 }
