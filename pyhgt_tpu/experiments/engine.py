@@ -233,6 +233,11 @@ def run_node_classification(
         log(f"resumed from {latest_path} at epoch {start_epoch}")
     sample_fn = task.make_sample_fn(train_pairs, splits["train"])
     history = []
+    from pyhgt_tpu.train.log import MetricsLogger
+
+    metrics = MetricsLogger(
+        os.path.join(cfg.model_dir, f"{cfg.task_name}_metrics.jsonl")
+    )
     with PrefetchLoader(
         sample_fn, n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed
     ) as loader:
@@ -241,9 +246,11 @@ def run_node_classification(
         for epoch in range(start_epoch, cfg.n_epoch):
             t0 = time.time()
             losses = []
+            edges = 0
             for b in range(cfg.n_batch * cfg.repeat):
                 tb = next(it)
                 se = sort_batch(tb.sub, layout, em)
+                edges += int(np.asarray(tb.sub.edge_mask).sum())
                 state, loss = step(
                     state, jax.random.key(epoch * 10000 + b),
                     *tb.batch_args, se, tb.labels, tb.label_mask,
@@ -255,10 +262,15 @@ def run_node_classification(
             from pyhgt_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(latest_path, state)  # crash-restart point
+            secs = time.time() - t0
+            eps = edges * cfg.n_layers / max(secs, 1e-9)
             history.append(dict(epoch=epoch, loss=train_loss, valid_ndcg=ndcg,
-                                valid_mrr=mrr, best=best, secs=time.time() - t0))
+                                valid_mrr=mrr, best=best, secs=secs,
+                                edges_per_s=eps))
+            metrics.log("epoch", **history[-1])
             log(f"epoch {epoch}: loss {train_loss:.4f} valid NDCG {ndcg:.4f} "
-                f"MRR {mrr:.4f}{' *' if best else ''} ({history[-1]['secs']:.1f}s)")
+                f"MRR {mrr:.4f}{' *' if best else ''} "
+                f"({secs:.1f}s, {eps/1e6:.2f}M edges/s)")
 
     # test: average metrics over resampled test batches (:295-327 does 10)
     rng_t = np.random.default_rng(cfg.seed + 2)
@@ -266,6 +278,8 @@ def run_node_classification(
              for _ in range(10)]
     test_ndcg = float(np.mean([t[0] for t in tests]))
     test_mrr = float(np.mean([t[1] for t in tests]))
+    metrics.log("test", ndcg=test_ndcg, mrr=test_mrr)
+    metrics.close()
     log(f"test NDCG {test_ndcg:.4f} MRR {test_mrr:.4f}")
     return dict(history=history, test_ndcg=test_ndcg, test_mrr=test_mrr,
                 best_valid=ckpt.best, state=state)

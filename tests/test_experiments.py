@@ -213,3 +213,19 @@ def test_cli_main_end_to_end(toy_env, tmp_path, monkeypatch):
         "--no-native_sampler", "--model_dir", str(tmp_path),
     ])
     assert rc == 0
+
+
+def test_metrics_jsonl_written(toy_env, tmp_path):
+    import json
+
+    cfg = _tiny_cfg(tmp_path, task_name="metrics_toy")
+    run_node_classification(
+        cfg, toy_env, label_meta=("venue", "paper", "PV_in"),
+        multi_label=True, log=lambda s: None,
+    )
+    path = tmp_path / "metrics_toy_metrics.jsonl"
+    recs = [json.loads(l) for l in open(path)]
+    epochs = [r for r in recs if r["event"] == "epoch"]
+    assert len(epochs) == cfg.n_epoch
+    assert epochs[0]["edges_per_s"] > 0
+    assert recs[-1]["event"] == "test"
