@@ -357,6 +357,11 @@ def run_ogbn(
         start_epoch = int(state.step) // (cfg.n_batch * cfg.repeat)
         log(f"resumed from {latest_path} at epoch {start_epoch}")
     history = []
+    from pyhgt_tpu.train.log import MetricsLogger
+
+    metrics = MetricsLogger(
+        os.path.join(cfg.model_dir, f"{cfg.task_name}_metrics.jsonl")
+    )
     with PrefetchLoader(
         task.make_sample_fn("train"), n_workers=cfg.n_pool,
         repeat=cfg.repeat, seed=cfg.seed,
@@ -366,9 +371,11 @@ def run_ogbn(
         for epoch in range(start_epoch, cfg.n_epoch):
             t0 = time.time()
             losses = []
+            edges = 0
             for b in range(cfg.n_batch * cfg.repeat):
                 tb = next(it)
                 se = sort_batch(tb.sub, layout, em)
+                edges += int(np.asarray(tb.sub.edge_mask).sum())
                 state, loss = step(
                     state, jax.random.key(epoch * 10000 + b),
                     *tb.batch_args, se, tb.labels, tb.label_mask,
@@ -392,10 +399,13 @@ def run_ogbn(
             from pyhgt_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(latest_path, state)
+            secs = time.time() - t0
+            eps = edges * cfg.n_layers / max(secs, 1e-9)
             history.append(dict(epoch=epoch, loss=train_loss, valid_acc=vacc,
-                                best=best, secs=time.time() - t0))
+                                best=best, secs=secs, edges_per_s=eps))
+            metrics.log("epoch", **history[-1])
             log(f"epoch {epoch}: loss {train_loss:.4f} valid acc {vacc:.4f}"
-                f"{' *' if best else ''} ({history[-1]['secs']:.1f}s)")
+                f"{' *' if best else ''} ({secs:.1f}s, {eps/1e6:.2f}M edges/s)")
 
     # final multi-sample eval (eval_ogbn_mag.py:128-179)
     def eval_forward(params, *bargs):
@@ -418,6 +428,8 @@ def run_ogbn(
         rng=np.random.default_rng(cfg.seed + 3),
         max_nodes=max_eval_nodes,
     )
+    metrics.log("test", mode=eval_mode, **{k: v for k, v in vr.items()})
+    metrics.close()
     log(f"test acc ({eval_mode}): {vr['acc']:.4f} "
         f"(single-sample {vr['single_sample_acc']:.4f}, n={vr['n_eval']})")
     return dict(history=history, test=vr, best_valid=ckpt.best, state=state)
