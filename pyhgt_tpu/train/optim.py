@@ -51,12 +51,23 @@ def cosine_schedule(
 def onecycle_schedule(
     max_lr: float = 5e-4, total_steps: int = 1000, pct_start: float = 0.05
 ):
-    """torch OneCycleLR(anneal_strategy='linear') semantics."""
+    """torch OneCycleLR(anneal_strategy='linear') semantics.
+
+    Boundary degeneracy guard: optax floors each phase boundary to an
+    integer step (``int(pct * transition_steps)``); when a phase spans
+    zero whole steps the piecewise interpolation divides by zero and the
+    NaN poisons EVERY learning rate (observed: total_steps=8 with
+    pct_start=0.05 produced an all-NaN schedule). Boundaries are therefore
+    computed in whole steps, at least one step apart.
+    """
+    total_steps = max(int(total_steps), 3)
+    b1 = min(max(1, round(pct_start * total_steps)), total_steps - 2)
+    b2 = total_steps - 1
     return optax.linear_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=max_lr,
-        pct_start=pct_start,
-        pct_final=1.0,
+        pct_start=b1 / total_steps,
+        pct_final=b2 / total_steps,
         div_factor=25.0,
         final_div_factor=1e4,
     )

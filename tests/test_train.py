@@ -208,3 +208,15 @@ def test_profile_trace_writes_artifacts(tmp_path):
     # the profiler writes a plugins/profile tree
     found = list(os.walk(d))
     assert any(files for _, _, files in found)
+
+
+def test_onecycle_finite_at_tiny_total_steps():
+    """Regression: optax floors phase boundaries to ints; with
+    total_steps=8 and pct_start=0.05 the first phase spanned zero steps
+    and the schedule returned NaN for EVERY learning rate (which NaN'd
+    whole training runs). Boundaries must be whole steps >= 1 apart."""
+    for ts in (2, 3, 8, 16):
+        s = onecycle_schedule(max_lr=3e-3, total_steps=ts)
+        vals = np.array([float(s(i)) for i in range(max(ts, 3))])
+        assert np.isfinite(vals).all(), (ts, vals)
+        assert vals.max() == pytest.approx(3e-3, rel=1e-3)
