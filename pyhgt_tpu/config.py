@@ -59,8 +59,10 @@ class ExperimentConfig:
     # -- padding (TPU static shapes; no reference analogue) ---------------
     node_cap: Optional[int] = None     # default: seeds + depth*width
     edge_cap: Optional[int] = None     # default: node_cap * 8
-    calibrate_caps: bool = False       # measure real sample draws to size
-                                       # per-meta edge caps (PadSpec.calibrate)
+    calibrate_caps: bool = True        # measure real sample draws to size
+                                       # per-meta edge caps (PadSpec.calibrate);
+                                       # default ON so the static node_cap*8
+                                       # heuristic can't silently drop edges
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -31,8 +31,8 @@ algebraic facts:
    ``[E,H,dk,dk]`` relation matrices per edge.
 
 What remains per-edge is exactly gather → multiply-reduce (SDDMM) →
-segment-softmax → scatter-add (SpMM), which XLA fuses well and which the
-Pallas kernel in :mod:`pyhgt_tpu.ops.pallas_hgt` fuses completely.
+segment-softmax → scatter-add (SpMM), which XLA fuses well; the
+scatter-free production path lives in :mod:`pyhgt_tpu.ops.sorted_hgt`.
 
 Everything here is functional: params in, arrays out; flax modules in
 :mod:`pyhgt_tpu.models` own the parameters.

@@ -8,8 +8,9 @@ PyG ``MessagePassing(aggr='add')`` (``conv.py:13``).
 All functions take a ``mask`` because batches are padded to static shapes:
 masked lanes contribute exactly zero. ``num_segments`` is static so the ops
 trace once per layout. XLA lowers ``jax.ops.segment_*`` to sort-free
-scatter-reduce; the Pallas fused path (ops/pallas_hgt.py) replaces these on
-the hot path while these remain the reference semantics for parity tests.
+scatter-reduce with duplicate indices SERIALIZED (~50 ns/edge measured);
+the production paths avoid these (ops/sorted_hgt.py tiled reductions) while
+these remain the readable reference semantics for parity tests.
 """
 
 from __future__ import annotations

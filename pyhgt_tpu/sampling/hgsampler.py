@@ -72,12 +72,12 @@ class HGSampler:
         self,
         seeds: Dict[str, np.ndarray],
         rng: Optional[np.random.Generator] = None,
-        time_max: Optional[int] = "unset",  # type: ignore[assignment]
+        time_max: Optional[int] = ...,  # Ellipsis sentinel: sampler default
     ) -> RawSample:
         """Sample a subgraph. ``seeds[type]`` is an ``[n, 2]`` array of
         (node_id, time) rows, mirroring the reference ``inp`` format."""
         rng = rng or np.random.default_rng()
-        if time_max == "unset":
+        if time_max is ...:  # Ellipsis = "use the sampler default"
             time_max = self.time_max
         width = self.width
         graph = self.graph

@@ -82,11 +82,11 @@ class NativeHGSampler:
         self,
         seeds: Dict[str, np.ndarray],
         rng: Optional[np.random.Generator] = None,
-        time_max: Optional[int] = "unset",  # type: ignore[assignment]
+        time_max: Optional[int] = ...,  # Ellipsis sentinel: sampler default
         seed: Optional[int] = None,
     ) -> RawSample:
         c = ctypes
-        if time_max == "unset":
+        if time_max is ...:  # Ellipsis = "use the sampler default"
             time_max = self.time_max
         if seed is None:
             seed = int((rng or np.random.default_rng()).integers(0, 2**63 - 1))

@@ -123,6 +123,23 @@ def sort_batch(
     em: Optional[EdgeStaticMeta] = None,
     num_relations: Optional[int] = None,
 ) -> SortedEdges:
+    return sort_edges(
+        batch.edge_src, batch.edge_tgt, batch.edge_dt, batch.edge_mask,
+        layout, em, num_relations,
+    )
+
+
+def sort_edges(
+    edge_src,
+    edge_tgt,
+    edge_dt,
+    edge_mask,
+    layout: BatchLayout,
+    em: Optional[EdgeStaticMeta] = None,
+    num_relations: Optional[int] = None,
+) -> SortedEdges:
+    """Edge-arrays-only entry: callers holding flat edge arrays (e.g. the
+    evaluator's forward wrapper) need not fabricate a full SubgraphBatch."""
     em = em or EdgeStaticMeta.from_layout(layout)
     T, C = layout.num_types, layout.node_cap
     N = T * C
@@ -131,17 +148,17 @@ def sort_batch(
     L = RTE_MAX_LEN
     R = num_relations or (layout.schema.num_relations)
 
-    src = np.asarray(batch.edge_src)
-    tgt = np.asarray(batch.edge_tgt)
-    dt = np.asarray(batch.edge_dt)
-    mask = np.asarray(batch.edge_mask)
+    src0 = src = np.asarray(edge_src)
+    tgt = np.asarray(edge_tgt)
+    dt0 = dt = np.asarray(edge_dt)
+    mask = np.asarray(edge_mask)
 
     key = np.where(mask, tgt, N)  # padding sorts last
     perm = np.argsort(key, kind="stable")
     src, tgt, dt, mask, key = src[perm], tgt[perm], dt[perm], mask[perm], key[perm]
-    gidx = (np.asarray(batch.edge_src) + em.gather_off)[perm]
+    gidx = (src0 + em.gather_off)[perm]
     gidx = np.where(mask, gidx, B * C - 1).astype(np.int32)
-    tabidx = (em.edge_block * L + np.asarray(batch.edge_dt))[perm]
+    tabidx = (em.edge_block * L + dt0)[perm]
     tabidx = np.where(mask, tabidx, B * L - 1).astype(np.int32)
     rel = em.edge_rel[perm]
     onehot = np.zeros((E, R), dtype=np.float32)

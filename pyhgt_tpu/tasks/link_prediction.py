@@ -94,7 +94,7 @@ def build_link_pairs(
 class LinkPredictionTask:
     graph: CSRGraph
     sampler: HGSampler
-    layout: BatchLayout
+    layout: Optional[BatchLayout]   # may be set after cap calibration
     groups: Dict[str, List[int]]
     paper_type: str = "paper"
     author_type: str = "author"
@@ -103,13 +103,16 @@ class LinkPredictionTask:
     max_group: int = 32
     feature_fn: Optional[Callable] = None
 
-    def sample(
+    def build_seeds(
         self,
         pairs: Dict[str, List[Tuple[int, int, int]]],
         split: TimeSplit,
-        rng: Optional[np.random.Generator] = None,
-    ) -> LinkTaskBatch:
-        rng = rng or np.random.default_rng()
+        rng: np.random.Generator,
+    ) -> Tuple[Dict[str, np.ndarray], List[List[int]]]:
+        """Seed assembly (``:104-131``): sampled names → group authors at
+        ``max_time`` + their first-authored papers at their own time.
+        Returns (sampler seed dict, per-paper candidate rows). Also used
+        standalone for cap calibration (PadSpec.calibrate)."""
         names = list(pairs.keys())
         pick = rng.choice(len(names), min(self.batch_size // 4, len(names)), replace=False)
         max_time = split.max_time if split.max_time is not None else int(
@@ -136,16 +139,24 @@ class LinkPredictionTask:
                     author_local[a] for i, a in enumerate(group) if i != pos
                 ]
                 cand_rows.append(row[: self.max_group])
+        seed_dict = {
+            self.paper_type: np.asarray(paper_info, dtype=np.int64),
+            self.author_type: np.asarray(author_info, dtype=np.int64),
+        }
+        return seed_dict, cand_rows
 
+    def sample(
+        self,
+        pairs: Dict[str, List[Tuple[int, int, int]]],
+        split: TimeSplit,
+        rng: Optional[np.random.Generator] = None,
+    ) -> LinkTaskBatch:
+        rng = rng or np.random.default_rng()
+        seed_dict, cand_rows = self.build_seeds(pairs, split, rng)
         raw = self.sampler.sample_raw(
-            {
-                self.paper_type: np.asarray(paper_info, dtype=np.int64),
-                self.author_type: np.asarray(author_info, dtype=np.int64),
-            },
-            rng=rng,
-            time_max=split.max_time,
+            seed_dict, rng=rng, time_max=split.max_time
         )
-        n_paper_seed = len(paper_info)
+        n_paper_seed = len(seed_dict[self.paper_type])
         tt, st, rel = self.write_meta
         rev_meta: MetaKey = (st, tt, "rev_" + rel)
         mask_seed_edges(raw, self.write_meta, n_paper_seed, seed_side="tgt")

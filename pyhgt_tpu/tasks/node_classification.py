@@ -34,7 +34,7 @@ class NodeClassificationTask:
 
     graph: CSRGraph
     sampler: HGSampler
-    layout: BatchLayout
+    layout: Optional[BatchLayout]   # may be set after cap calibration
     target_type: str            # 'paper'
     label_meta: MetaKey         # ('field', 'paper', 'PF_in_L2') — label-side indexed
     batch_size: int = 256
@@ -60,6 +60,21 @@ class NodeClassificationTask:
         return len(self.cand_list)
 
     # ------------------------------------------------------------------
+    def build_seeds(
+        self,
+        pairs: Dict[int, Tuple[list, int]],
+        rng: np.random.Generator,
+    ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+        """Pick ``batch_size`` (target, time) seed rows (``:94-99``).
+        Also used standalone for cap calibration (PadSpec.calibrate)."""
+        keys = np.fromiter(pairs.keys(), dtype=np.int64, count=len(pairs))
+        pick = rng.choice(len(keys), min(self.batch_size, len(keys)), replace=False)
+        target_ids = keys[pick]
+        seeds = np.stack(
+            [target_ids, np.array([pairs[int(t)][1] for t in target_ids])], axis=1
+        )
+        return {self.target_type: seeds}, target_ids
+
     def sample(
         self,
         pairs: Dict[int, Tuple[list, int]],
@@ -67,14 +82,9 @@ class NodeClassificationTask:
         rng: Optional[np.random.Generator] = None,
     ) -> TaskBatch:
         rng = rng or np.random.default_rng()
-        keys = np.fromiter(pairs.keys(), dtype=np.int64, count=len(pairs))
-        pick = rng.choice(len(keys), min(self.batch_size, len(keys)), replace=False)
-        target_ids = keys[pick]
-        seeds = np.stack(
-            [target_ids, np.array([pairs[int(t)][1] for t in target_ids])], axis=1
-        )
+        seed_dict, target_ids = self.build_seeds(pairs, rng)
         raw = self.sampler.sample_raw(
-            {self.target_type: seeds}, rng=rng, time_max=split.max_time
+            seed_dict, rng=rng, time_max=split.max_time
         )
         n_seed = len(target_ids)
         # leakage mask: drop label edges touching the seed block, both

@@ -48,6 +48,7 @@ class PrefetchLoader:
         self.device = device
         self._host_q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
+        self._failed = threading.Event()
         self._seed_rng = np.random.default_rng(seed)
         self._seed_lock = threading.Lock()
         self._threads = [
@@ -69,6 +70,7 @@ class PrefetchLoader:
             try:
                 batch = self.sample_fn(rng)
             except Exception as e:  # fail fast, surface in consumer
+                self._failed.set()  # __iter__ raises instead of blocking
                 self._host_q.put(e)
                 return
             while not self._stop.is_set():
@@ -105,7 +107,22 @@ class PrefetchLoader:
         self.start()
         pending = None  # one-deep device prefetch pipeline
         while True:
-            item = self._host_q.get()
+            # don't block forever on an empty queue once a worker has died:
+            # surviving workers may be unable to refill it fast enough, and
+            # with 0 survivors nothing ever will (ADVICE round-1)
+            while True:
+                try:
+                    item = self._host_q.get(timeout=1.0)
+                    break
+                except queue.Empty:
+                    if not any(t.is_alive() for t in self._threads):
+                        raise RuntimeError(
+                            "all PrefetchLoader workers have exited"
+                            + (
+                                " after a sample_fn failure"
+                                if self._failed.is_set() else ""
+                            )
+                        ) from None
             if isinstance(item, Exception):
                 raise item
             dev = jax.device_put(item, self.device)

@@ -49,28 +49,43 @@ def cosine_schedule(
 
 
 def onecycle_schedule(
-    max_lr: float = 5e-4, total_steps: int = 1000, pct_start: float = 0.05
+    max_lr: float = 5e-4,
+    total_steps: int = 1000,
+    pct_start: float = 0.05,
+    div_factor: float = 25.0,
+    final_div_factor: float = 10.0,
 ):
-    """torch OneCycleLR(anneal_strategy='linear') semantics.
+    """torch OneCycleLR(anneal_strategy='linear', three_phase=False)
+    semantics, matching the reference's exact knobs
+    (``ogbn-mag/train_ogbn_mag.py:128-129``: pct_start=0.05,
+    final_div_factor=10, total_steps=n_batch*n_epoch+1).
 
-    Boundary degeneracy guard: optax floors each phase boundary to an
-    integer step (``int(pct * transition_steps)``); when a phase spans
-    zero whole steps the piecewise interpolation divides by zero and the
-    NaN poisons EVERY learning rate (observed: total_steps=8 with
-    pct_start=0.05 produced an all-NaN schedule). Boundaries are therefore
-    computed in whole steps, at least one step apart.
+    torch's two-phase linear cycle rises from ``max_lr/div_factor`` to
+    ``max_lr`` over ``float(pct_start*total_steps) - 1`` steps (a
+    *fractional* boundary — torch never lands exactly on the peak when it
+    isn't integral), then decays linearly to
+    ``max_lr/(div_factor*final_div_factor)`` over the remainder. optax's
+    ``linear_onecycle_schedule`` is 3-phase with integer boundaries and
+    decays only to ``max_lr/div_factor`` before a final cliff — up to
+    ~1e4x larger late-training LR — so the formula is implemented
+    directly. Phase lengths are floored at a tiny positive value so tiny
+    ``total_steps`` can never divide by zero (round-1 NaN regression).
     """
-    total_steps = max(int(total_steps), 3)
-    b1 = min(max(1, round(pct_start * total_steps)), total_steps - 2)
-    b2 = total_steps - 1
-    return optax.linear_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=max_lr,
-        pct_start=b1 / total_steps,
-        pct_final=b2 / total_steps,
-        div_factor=25.0,
-        final_div_factor=1e4,
-    )
+    import jax.numpy as jnp
+
+    total_steps = max(int(total_steps), 2)
+    up = max(float(pct_start * total_steps) - 1.0, 1e-9)
+    down = max(float(total_steps) - up - 1.0, 1e-9)
+    init = max_lr / div_factor
+    final = init / final_div_factor
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        lr_up = init + (max_lr - init) * jnp.clip(s / up, 0.0, 1.0)
+        lr_down = max_lr + (final - max_lr) * jnp.clip((s - up) / down, 0.0, 1.0)
+        return jnp.where(s <= up, lr_up, lr_down)
+
+    return schedule
 
 
 def make_optimizer(
@@ -78,19 +93,33 @@ def make_optimizer(
     weight_decay: float = 0.01,
     clip_norm: Optional[float] = 0.25,
     params=None,
+    name: str = "adamw",
 ):
-    """AdamW + global-norm clip, no-decay groups for biases/norms/gates.
+    """Optimizer factory + global-norm clip.
 
-    ``params`` (a pytree template) enables the decay mask; without it decay
-    applies everywhere (fine for quick experiments).
+    ``name`` mirrors the reference's ``--optimizer`` choices
+    (``OAG/train_paper_field.py:42-44,198-205``): adamw (no-decay groups
+    for biases/norms/gates), adam, sgd (the reference pins lr=0.1 and
+    ignores the scheduler's base — we keep the schedule but that quirk is
+    documented), adagrad. ``params`` (a pytree template) enables the
+    adamw decay mask; without it decay applies everywhere.
     """
-    mask = _decay_mask(params) if params is not None else None
-    tx = optax.adamw(
-        learning_rate=schedule,
-        weight_decay=weight_decay,
-        mask=mask,
-        eps=1e-6,
-    )
+    if name == "adamw":
+        mask = _decay_mask(params) if params is not None else None
+        tx = optax.adamw(
+            learning_rate=schedule,
+            weight_decay=weight_decay,
+            mask=mask,
+            eps=1e-6,
+        )
+    elif name == "adam":
+        tx = optax.adam(learning_rate=schedule)
+    elif name == "sgd":
+        tx = optax.sgd(learning_rate=schedule)
+    elif name == "adagrad":
+        tx = optax.adagrad(learning_rate=schedule)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx

@@ -68,13 +68,29 @@ def test_cosine_schedule_endpoints():
     assert float(s(100)) == pytest.approx(1e-6, rel=1e-2)
 
 
-def test_onecycle_shape():
-    s = onecycle_schedule(max_lr=5e-4, total_steps=100, pct_start=0.05)
-    lrs = [float(s(i)) for i in range(101)]
-    peak = int(np.argmax(lrs))
-    assert peak == pytest.approx(5, abs=2)
-    assert max(lrs) == pytest.approx(5e-4, rel=1e-3)
-    assert lrs[-1] < 1e-6
+def test_onecycle_matches_torch():
+    """Step-for-step parity with the reference's exact scheduler call
+    (``ogbn-mag/train_ogbn_mag.py:128-129``: OneCycleLR(pct_start=0.05,
+    anneal_strategy='linear', final_div_factor=10, max_lr=5e-4))."""
+    import torch
+
+    total = 321  # n_batch*n_epoch + 1 style odd total
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    ref = torch.optim.lr_scheduler.OneCycleLR(
+        opt, pct_start=0.05, anneal_strategy="linear",
+        final_div_factor=10, max_lr=5e-4, total_steps=total,
+    )
+    torch_lrs = []
+    for _ in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        ref.step()
+
+    s = onecycle_schedule(max_lr=5e-4, total_steps=total, pct_start=0.05)
+    import jax
+
+    ours = np.asarray(jax.vmap(s)(np.arange(total)))
+    np.testing.assert_allclose(ours, np.array(torch_lrs), rtol=5e-5)
 
 
 # -------------------------------------------------------------------- loader
@@ -96,6 +112,43 @@ def test_prefetch_loader_propagates_worker_error():
     with PrefetchLoader(sample, n_workers=1, seed=0) as loader:
         with pytest.raises(ValueError, match="boom"):
             loader.take(1)
+
+
+def test_prefetch_loader_raises_when_all_workers_dead():
+    """A consumer that swallows the first error must not then block forever
+    on an empty queue once every worker has exited (ADVICE round-1)."""
+    def sample(rng):
+        raise ValueError("boom")
+
+    with PrefetchLoader(sample, n_workers=1, seed=0) as loader:
+        with pytest.raises(ValueError, match="boom"):
+            next(iter(loader))
+        with pytest.raises(RuntimeError, match="workers have exited"):
+            next(iter(loader))
+
+
+@pytest.mark.parametrize("name", ["adamw", "adam", "sgd", "adagrad"])
+def test_optimizer_choices(name):
+    """Every reference --optimizer choice trains (train_paper_field.py:42-44,
+    198-205)."""
+    params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+    tx = make_optimizer(1e-2, params=params, name=name)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, rng_key):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["bias"] ** 2)
+
+    step = make_train_step(lambda p, r: loss_fn(p, r), tx)
+    l0 = None
+    for i in range(5):
+        state, loss = step(state, jax.random.key(i))
+        l0 = l0 if l0 is not None else float(loss)
+    assert float(loss) < l0
+
+
+def test_optimizer_unknown_raises():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_optimizer(1e-2, name="lamb")
 
 
 # ----------------------------------------------------------------- train step
@@ -219,4 +272,7 @@ def test_onecycle_finite_at_tiny_total_steps():
         s = onecycle_schedule(max_lr=3e-3, total_steps=ts)
         vals = np.array([float(s(i)) for i in range(max(ts, 3))])
         assert np.isfinite(vals).all(), (ts, vals)
-        assert vals.max() == pytest.approx(3e-3, rel=1e-3)
+        # torch's fractional phase boundary means tiny cycles never touch
+        # the exact peak; require a sane bracket instead
+        assert vals.max() <= 3e-3 * (1 + 1e-6)
+        assert vals.max() >= 3e-3 / 25 - 1e-9
