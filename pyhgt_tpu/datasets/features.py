@@ -43,3 +43,24 @@ def oag_in_dim(graph: CSRGraph, emb_type: str = "paper") -> int:
     """emb_dim + 401 (``OAG/train_paper_field.py:190``)."""
     return int(np.asarray(graph.features[emb_type]["emb"]).shape[1]) + \
         OAG_NODE_EMB_DIM + 1
+
+
+def texts_oag(
+    graph: CSRGraph, sample, text_type: str = "paper",
+    text_key: str = "title",
+) -> np.ndarray:
+    """Sampled papers' titles — the reference's ``texts`` output of
+    ``feature_OAG`` (``pyHGT/utils.py:68-69``), kept separate from the
+    numeric feature matrix because titles never enter the device batch.
+
+    ``sample`` is a :class:`~pyhgt_tpu.sampling.hgsampler.RawSample`;
+    returns a [n_sampled_papers] unicode array in sample order (empty
+    array if the graph carries no title column).
+    """
+    cols = graph.features.get(text_type) or {}
+    if text_key not in cols:
+        return np.array([], dtype=np.str_)
+    ids = sample.node_ids.get(text_type)
+    if ids is None or len(ids) == 0:
+        return np.array([], dtype=np.str_)
+    return np.asarray(cols[text_key])[np.asarray(ids)].astype(np.str_)

@@ -269,7 +269,15 @@ def _assemble_features(graph: Graph, emb_dim: int, test_time_bar: int) -> None:
         out.update(extra)
         return out
 
-    graph.node_feature["paper"] = cols(papers, {"emb": paper_emb})
+    graph.node_feature["paper"] = cols(
+        papers,
+        {
+            "emb": paper_emb,
+            # titles ride along for the reference's `texts` output
+            # (pyHGT/utils.py:68-69; surfaced via features.texts_oag)
+            "title": np.array([str(n.get("title", "")) for n in papers]),
+        },
+    )
 
     def prop_from(tgt_type: str, src_type: str, src_emb: np.ndarray,
                   time_filtered: bool):

@@ -49,6 +49,26 @@ def test_feature_extractors(toy_csr):
     np.testing.assert_allclose(f2[:, -1], np.log10(ids + 0.01), rtol=1e-5)
 
 
+def test_texts_oag(toy_csr):
+    """feature_OAG's `texts` output (pyHGT/utils.py:68-69): sampled papers'
+    titles in sample order."""
+    from pyhgt_tpu.datasets.features import texts_oag
+
+    n = toy_csr.num_nodes["paper"]
+    toy_csr.features["paper"]["title"] = np.array(
+        [f"paper {i}" for i in range(n)]
+    )
+
+    class FakeSample:
+        node_ids = {"paper": np.array([4, 0, 2])}
+
+    t = texts_oag(toy_csr, FakeSample())
+    assert list(t) == ["paper 4", "paper 0", "paper 2"]
+    # graceful when titles are absent
+    del toy_csr.features["paper"]["title"]
+    assert texts_oag(toy_csr, FakeSample()).size == 0
+
+
 def test_ogbn_build_from_arrays():
     rng = np.random.default_rng(0)
     nP, nA, nF, nI = 30, 12, 6, 3
