@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--preset", default="bench")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel shards (requires that many devices; "
+                         "the shard_map'd unbatched program per device)")
     args = ap.parse_args()
 
     import jax
@@ -49,17 +52,50 @@ def main() -> None:
         params=params,
     )
     state = TrainState.create(params, tx)
-    # unbatched step: vmap(1) turns edge gathers into batched gathers
-    # and costs ~20% (measured 380 -> 304 ms)
-    step = make_train_step(fl.loss_fn_single(), tx)
-
-    bargs = tuple(jax.device_put(np.asarray(a)) for a in fl.batch_args(batch))
-    se_stack = jax.device_put(se)
-    y = jax.device_put(np.asarray(labels))
     rng = jax.random.key(1)
-
     n_edges = int(np.sum(np.asarray(batch.edge_mask)))
     n_layers = fl.cfg.n_layers
+
+    if args.dp > 1:
+        # dp scaling mode: one subgraph per device, shard_map'd unbatched
+        # program, grads psum over ICI (parallel/spmd.py)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pyhgt_tpu.parallel.mesh import make_mesh, replicate
+        from pyhgt_tpu.parallel.spmd import make_dp_train_step
+
+        mesh = make_mesh(n_data=args.dp, n_model=1,
+                         devices=jax.devices()[: args.dp])
+        bs = NamedSharding(mesh, P("data"))
+        batches, ys, ses = [batch], [labels], [se]
+        for i in range(1, args.dp):
+            b, y = synth_flagship_batch(fl, seed=i, edge_fill=1.0)
+            batches.append(b)
+            ys.append(y)
+            ses.append(fl.sort(b))
+        import jax.tree_util  # noqa: F401
+
+        stack = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        bargs = tuple(jax.device_put(np.asarray(a), bs)
+                      for a in fl.batch_args(stack))
+        se_stack = jax.device_put(
+            jax.tree.map(lambda *xs: np.stack(xs), *ses), bs
+        )
+        y = jax.device_put(np.stack(ys), bs)
+        state = TrainState.create(
+            jax.device_put(params, replicate(mesh)), tx
+        )
+        step = make_dp_train_step(fl.loss_fn_single(), tx, mesh)
+        n_edges *= args.dp
+    else:
+        # unbatched step: vmap(1) turns edge gathers into batched gathers
+        # and costs ~20% (measured 380 -> 304 ms)
+        step = make_train_step(fl.loss_fn_single(), tx)
+        bargs = tuple(
+            jax.device_put(np.asarray(a)) for a in fl.batch_args(batch)
+        )
+        se_stack = jax.device_put(se)
+        y = jax.device_put(np.asarray(labels))
 
     for _ in range(args.warmup):
         state, loss = step(state, rng, *bargs, se_stack, y)
@@ -73,7 +109,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / args.steps
 
     assert np.isfinite(lval), f"non-finite loss {lval}"
-    edges_per_s = n_edges * n_layers / dt
+    edges_per_s = n_edges * n_layers / dt / args.dp
     vs = edges_per_s / BASELINE_EDGES_PER_S if BASELINE_EDGES_PER_S else 1.0
     print(
         json.dumps(
@@ -81,7 +117,8 @@ def main() -> None:
                 "metric": "hgt_train_edges_per_s_per_chip",
                 "value": round(edges_per_s, 1),
                 "unit": f"edges/s/chip ({n_layers}-layer fwd+bwd+adamw, "
-                        f"{n_edges} edges/batch, step {dt*1e3:.1f} ms)",
+                        f"{n_edges} edges/batch, step {dt*1e3:.1f} ms"
+                        + (f", dp={args.dp}" if args.dp > 1 else "") + ")",
                 "vs_baseline": round(vs, 3),
             }
         ),

@@ -52,6 +52,16 @@ class ExperimentConfig:
     clip: float = 0.25                 # --clip (:61-62; ogbn uses 1.0 :57)
     weight_decay: float = 0.01
 
+    # -- parallelism (no reference analogue — reference is single-GPU,
+    # SURVEY §2.9; these drive jax.sharding meshes over ICI) -------------
+    dp: int = 1                        # data-parallel shards per step:
+                                       # each step consumes dp stacked
+                                       # subgraphs via a shard_map'd
+                                       # unbatched program (parallel/spmd)
+    tp: int = 1                        # tensor-parallel (head-axis) shards
+                                       # via GSPMD param sharding
+                                       # (parallel/mesh rules)
+
     # -- eval -------------------------------------------------------------
     vr_num: int = 8                    # eval_ogbn_mag.py:95
     seed: int = 43                     # np.random.seed(43) (:179)

@@ -179,6 +179,85 @@ def _make_producer(sample_fn, layout, em):
     return fn
 
 
+def _stack_items(items):
+    """Collate ``dp`` producer items into one stacked item (leading axis =
+    data shards); host scalar diagnostics sum."""
+    tb = jax.tree.map(lambda *xs: np.stack(xs), *[it.tb for it in items])
+    se = jax.tree.map(lambda *xs: np.stack(xs), *[it.se for it in items])
+    return _Item(
+        tb, se,
+        sum(it.n_edges for it in items),
+        sum(it.overflow for it in items),
+    )
+
+
+def _vmap_stacked_loss(loss_single):
+    """Lift an unbatched loss over a stacked leading axis (per-shard
+    dropout rngs via split)."""
+
+    def loss(params, rng, *args):
+        n = jax.tree_util.tree_leaves(args[0])[0].shape[0]
+        rngs = jax.random.split(rng, n)
+        per = jax.vmap(
+            loss_single, in_axes=(None, 0) + (0,) * len(args)
+        )(params, rngs, *args)
+        return jnp.mean(per)
+
+    return loss
+
+
+def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
+    """Build the train step honoring ``cfg.dp`` / ``cfg.tp``
+    (SURVEY §2.9 — the reference has no distributed path at all).
+
+    - dp>1, tp==1: shard_map'd **unbatched** program over the 'data' axis
+      (vmap with a small leading axis pessimizes edge gathers ~20%,
+      docs/PERF_NOTES.md); params stay replicated.
+    - tp>1: GSPMD — head-axis-sharded parameter banks
+      (:func:`pyhgt_tpu.parallel.mesh.param_shardings`) + vmap-stacked
+      batch program; XLA inserts the collectives.
+
+    Returns ``(step, loader_kwargs, state, mesh)``; pass loader_kwargs to
+    PrefetchLoader so it stacks+shards dp subgraphs per yielded item.
+    """
+    dp, tp = max(cfg.dp, 1), max(cfg.tp, 1)
+    if dp == 1 and tp == 1:
+        return make_train_step(loss_fn, tx), {}, state, None
+    from pyhgt_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        param_shardings,
+        replicate,
+    )
+
+    devices = jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(
+            f"dp={dp} x tp={tp} needs {dp * tp} devices, "
+            f"have {len(devices)}"
+        )
+    mesh = make_mesh(n_data=dp, n_model=tp, devices=devices[: dp * tp])
+    loader_kw = {}
+    if dp > 1:
+        loader_kw = dict(
+            stack=dp, collate=_stack_items, device=batch_sharding(mesh)
+        )
+    if tp == 1:
+        from pyhgt_tpu.parallel.spmd import make_dp_train_step
+
+        step = make_dp_train_step(loss_fn, tx, mesh)
+        state = jax.device_put(state, replicate(mesh))
+    else:
+        stacked = _vmap_stacked_loss(loss_fn) if dp > 1 else loss_fn
+        step = make_train_step(stacked, tx)
+        state = TrainState(
+            params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+            opt_state=jax.device_put(state.opt_state, replicate(mesh)),
+            step=jax.device_put(state.step, replicate(mesh)),
+        )
+    return step, loader_kw, state, mesh
+
+
 def _warn_overflow(log, overflow: int, edges: int, threshold: float = 0.01):
     """Surface silent edge-cap drops (VERDICT round-1 'Weak #2'): any
     overflow is logged into the metrics jsonl by the caller; past the
@@ -265,7 +344,7 @@ def run_node_classification(
             if multi_label else nll_loss(logp, labels, mask=lmask)
         )
 
-    step = make_train_step(loss_fn, tx)
+    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state)
     fwd = jax.jit(
         lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
             p, nf, es, et, dt, emk, nmk, em, se=se
@@ -307,7 +386,8 @@ def run_node_classification(
         os.path.join(cfg.model_dir, f"{cfg.task_name}_metrics.jsonl")
     )
     with PrefetchLoader(
-        sample_fn, n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed
+        sample_fn, n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
+        **loader_kw,
     ) as loader:
         it = iter(loader)
         rng_eval = np.random.default_rng(cfg.seed + 1)
@@ -407,7 +487,7 @@ def run_ogbn(
         )
         return nll_loss(logp, labels, mask=lmask)
 
-    step = make_train_step(loss_fn, tx)
+    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state)
     fwd = jax.jit(
         lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
             p, nf, es, et, dt, emk, nmk, em, se=se
@@ -436,6 +516,7 @@ def run_ogbn(
     with PrefetchLoader(
         _make_producer(task.make_sample_fn("train"), layout, em),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
+        **loader_kw,
     ) as loader:
         it = iter(loader)
         rng_eval = np.random.default_rng(cfg.seed + 1)
@@ -563,7 +644,7 @@ def run_author_disambiguation(
         per_q = per_q * qm
         return jnp.sum(per_q) / jnp.maximum(jnp.sum(qm), 1)
 
-    step = make_train_step(loss_fn, tx)
+    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state)
     score_fn = jax.jit(
         lambda p, nf, es, et, dt, emk, nmk, ci, se: model.apply(
             p, nf, es, et, dt, emk, nmk, em, ci, se=se,
@@ -602,6 +683,7 @@ def run_author_disambiguation(
             task.make_sample_fn(pairs["train"], splits["train"]), layout, em
         ),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
+        **loader_kw,
     ) as loader:
         it = iter(loader)
         rng_eval = np.random.default_rng(cfg.seed + 1)

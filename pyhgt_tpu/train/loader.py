@@ -41,11 +41,22 @@ class PrefetchLoader:
         repeat: int = 1,
         seed: Optional[int] = None,
         device=None,
+        stack: int = 1,
+        collate: Optional[Callable] = None,
     ) -> None:
+        """``stack > 1`` collects that many host items per yielded batch and
+        combines them with ``collate(items)`` (default: tree-stack on a new
+        leading axis) before the device transfer — the data-parallel feed
+        (pass ``device=NamedSharding(mesh, P('data'))`` to shard the stack
+        over the mesh)."""
         self.sample_fn = sample_fn
         self.n_workers = n_workers
         self.repeat = repeat
         self.device = device
+        self.stack = stack
+        self.collate = collate or (
+            lambda items: jax.tree.map(lambda *xs: np.stack(xs), *items)
+        )
         self._host_q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._failed = threading.Event()
@@ -103,28 +114,37 @@ class PrefetchLoader:
         self.stop()
 
     # -- consumer side ------------------------------------------------------
+    def _get_host_item(self):
+        # don't block forever on an empty queue once a worker has died:
+        # surviving workers may be unable to refill it fast enough, and
+        # with 0 survivors nothing ever will (ADVICE round-1)
+        while True:
+            try:
+                item = self._host_q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if not any(t.is_alive() for t in self._threads):
+                    raise RuntimeError(
+                        "all PrefetchLoader workers have exited"
+                        + (
+                            " after a sample_fn failure"
+                            if self._failed.is_set() else ""
+                        )
+                    ) from None
+        if isinstance(item, Exception):
+            raise item
+        return item
+
     def __iter__(self) -> Iterator:
         self.start()
         pending = None  # one-deep device prefetch pipeline
         while True:
-            # don't block forever on an empty queue once a worker has died:
-            # surviving workers may be unable to refill it fast enough, and
-            # with 0 survivors nothing ever will (ADVICE round-1)
-            while True:
-                try:
-                    item = self._host_q.get(timeout=1.0)
-                    break
-                except queue.Empty:
-                    if not any(t.is_alive() for t in self._threads):
-                        raise RuntimeError(
-                            "all PrefetchLoader workers have exited"
-                            + (
-                                " after a sample_fn failure"
-                                if self._failed.is_set() else ""
-                            )
-                        ) from None
-            if isinstance(item, Exception):
-                raise item
+            if self.stack > 1:
+                item = self.collate(
+                    [self._get_host_item() for _ in range(self.stack)]
+                )
+            else:
+                item = self._get_host_item()
             dev = jax.device_put(item, self.device)
             for _ in range(self.repeat):
                 if pending is not None:
