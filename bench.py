@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel shards (requires that many devices; "
                          "the shard_map'd unbatched program per device)")
+    ap.add_argument("--edge_bf16", action="store_true", default=None,
+                    help="mixed-precision per-edge stage (bf16 values, "
+                         "f32 softmax/accumulation)")
+    ap.add_argument("--no-edge_bf16", dest="edge_bf16", action="store_false")
+    ap.add_argument("--edge_bwd", choices=["permute", "recompute"],
+                    default=None, help="sorted-path backward strategy")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +49,12 @@ def main() -> None:
     from pyhgt_tpu.train.optim import cosine_schedule, make_optimizer
     from pyhgt_tpu.train.step import TrainState, make_train_step
 
-    fl = build_flagship(args.preset)
+    overrides = {}
+    if args.edge_bf16 is not None:
+        overrides["edge_bf16"] = args.edge_bf16
+    if args.edge_bwd is not None:
+        overrides["edge_bwd"] = args.edge_bwd
+    fl = build_flagship(args.preset, **overrides)
     batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
     se = fl.sort(batch)
     params = fl.init_params(jax.random.key(0), batch, se)

@@ -34,6 +34,8 @@ class ExperimentConfig:
     edge_impl: str = "sorted"
     remat: bool = False
     save_kv: bool = False
+    edge_bf16: bool = False            # sorted path: per-edge stage in bf16
+                                       # (f32 softmax + accumulations)
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

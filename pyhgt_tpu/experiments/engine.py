@@ -119,6 +119,7 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         remat=cfg.remat,
         edge_impl=cfg.edge_impl,
         save_kv=cfg.save_kv,
+        edge_bf16=cfg.edge_bf16,
     )
 
 

@@ -58,6 +58,8 @@ class FlagshipConfig:
     dropout: float = 0.2
     remat: bool = False
     save_kv: bool = False
+    edge_bf16: bool = False
+    edge_bwd: str = "permute"
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
 
 
@@ -109,6 +111,8 @@ class FlagshipModel(nn.Module):
             remat=c.remat,
             edge_impl=c.edge_impl,
             save_kv=c.save_kv,
+            edge_bf16=c.edge_bf16,
+            edge_bwd=c.edge_bwd,
         )
         self.clf = Classifier(n_out=c.n_classes)
 
@@ -209,8 +213,10 @@ class Flagship:
         return loss
 
 
-def build_flagship(preset: str = "tiny") -> Flagship:
+def build_flagship(preset: str = "tiny", **overrides) -> Flagship:
     cfg = PRESETS[preset]
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     schema = flagship_schema()
     pad = PadSpec(node_cap=cfg.node_cap, default_edge_cap=cfg.edge_cap)
     layout = BatchLayout(schema=schema, pad=pad)

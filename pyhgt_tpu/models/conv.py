@@ -66,7 +66,10 @@ class HGTConv(nn.Module):
     use_rte: bool = True
     remat: bool = False   # jax.checkpoint the attention core (backward remat)
     edge_impl: str = "segment"  # 'segment' (jnp scatter) | 'sorted' (scatter-free)
-    save_kv: bool = False  # sorted path: keep per-edge K/V/Q for the backward
+    save_kv: bool = False  # sorted path: keep per-edge K/V for the backward
+    edge_bf16: bool = False  # sorted path: run the per-edge stage in bf16
+    edge_bwd: str = "permute"  # sorted-path backward strategy (see
+                               # ops/sorted_hgt._edge_bwd): permute|recompute
     graph_axis: str = ""   # set to a mesh axis name to run edge-partitioned
 
     def setup(self):
@@ -191,6 +194,8 @@ class HGTConv(nn.Module):
                 raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
             save_kv = self.save_kv
+            edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
+            bwd_rec = self.edge_bwd == "recompute"
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -198,6 +203,7 @@ class HGTConv(nn.Module):
                     wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
+                    edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
                 )
 
             if self.remat:
@@ -250,6 +256,8 @@ class DenseHGTConv(nn.Module):
     edge_impl: str = "segment"
     graph_axis: str = ""
     save_kv: bool = False
+    edge_bf16: bool = False
+    edge_bwd: str = "permute"
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -305,6 +313,8 @@ class DenseHGTConv(nn.Module):
                 raise ValueError("edge_impl='sorted' requires a SortedEdges batch")
 
             save_kv = self.save_kv
+            edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
+            bwd_rec = self.edge_bwd == "recompute"
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -312,6 +322,7 @@ class DenseHGTConv(nn.Module):
                     wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv,
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
+                    edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
                 )
 
             if self.remat:
@@ -570,6 +581,8 @@ class GeneralConv(nn.Module):
     remat: bool = False
     edge_impl: str = "segment"
     save_kv: bool = False
+    edge_bf16: bool = False
+    edge_bwd: str = "permute"
     graph_axis: str = ""
 
     def setup(self):
@@ -585,6 +598,8 @@ class GeneralConv(nn.Module):
             remat=self.remat,
             edge_impl=self.edge_impl,
             save_kv=self.save_kv,
+            edge_bf16=self.edge_bf16,
+            edge_bwd=self.edge_bwd,
             graph_axis=self.graph_axis,
         )
         if self.conv_name == "hgt":

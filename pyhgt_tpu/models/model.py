@@ -39,6 +39,8 @@ class GNN(nn.Module):
     remat: bool = False
     edge_impl: str = "segment"
     save_kv: bool = False
+    edge_bf16: bool = False
+    edge_bwd: str = "permute"
     graph_axis: str = ""
 
     def setup(self):
@@ -67,6 +69,8 @@ class GNN(nn.Module):
                     remat=self.remat,
                     edge_impl=self.edge_impl,
                     save_kv=self.save_kv,
+                    edge_bf16=self.edge_bf16,
+                    edge_bwd=self.edge_bwd,
                     graph_axis=self.graph_axis,
                 )
             )

@@ -226,47 +226,68 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     H, dk, use_rte = dims[0], dims[1], dims[2]
     D = q_n.shape[-1]
     E = se.edge_tgt.shape[0]
+    dt = k_rel.dtype
     k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte)
     q_e = _rows(q_n, se.edge_tgt)
-    _pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk)
-    w = _softmax_tiled(att, se)                              # [E, H]
-    msg = (w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)).reshape(E, D)
+    pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk)
+    w = _softmax_tiled(att, se)                              # [E, H] f32
+    # per-edge messages written in the operand dtype (bf16 when the caller
+    # runs the edge stage in bf16) — halves the [E, D] reduce traffic; the
+    # tiled reduction still accumulates f32
+    msg = (
+        w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)
+    ).reshape(E, D).astype(dt)
     aggr = seg_sum_tiled(msg, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
-    return aggr, w, k_e, v_e, q_e
+    return aggr, w, pre, k_e, v_e
 
 
 def _edge_fwd(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     save_kv = len(dims) > 3 and dims[3]
-    aggr, w, k_e, v_e, q_e = _edge_fwd_impl(
+    aggr, w, pre, k_e, v_e = _edge_fwd_impl(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se
     )
-    kvq = (k_e, v_e, q_e) if save_kv else None
-    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq, se)
+    kv = (k_e, v_e) if save_kv else None
+    # `pre` ([E, H], the pri-less attention logits) rides along so the
+    # backward never re-gathers q_e in target order — 7 MB at bench scale
+    res = (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, pre, kv, se)
     return aggr, res
 
 
 def _edge_bwd(dims, res, g_aggr):
-    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, kvq, se) = res
+    """Scatter-free backward; two strategies for the src/tab-grouped
+    gradient reductions, selected statically by ``dims[4]``:
+
+    - ``permute`` (round-1): compute g_k_e/g_v_e once in tgt order, then
+      permute-gather each [E, D] tensor into src/tab-sorted order. XLA
+      fuses the elementwise product INTO the permute, so each grouping
+      costs 2 fused [E, D] passes.
+    - ``recompute``: never permute [E, D]; re-gather q/g_aggr rows from
+      node-sized tables natively in each sorted order (cheap [E, H]
+      coefficient permutes + reuse-heavy [N, D] gathers) and recompute
+      the products there. Halves the *random-read* traffic but doubles
+      the product writes — measured SLOWER in f32 (365 vs 304 ms/step,
+      docs/PERF_NOTES.md round-2); kept selectable for bf16.
+    """
+    (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, pre, kv, se) = res
     H, dk, use_rte = dims[0], dims[1], dims[2]
+    recompute = len(dims) > 4 and dims[4]
     D = q_n.shape[-1]
     E = se.edge_tgt.shape[0]
+    dt = k_rel.dtype
     mask = se.edge_mask
 
-    if kvq is not None:
-        k_e, v_e, q_e = kvq            # saved: no backward re-gathers
+    if kv is not None:
+        k_e, v_e = kv                  # saved: no backward re-gathers
     else:
         k_e, v_e = _gather_kv(
             k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte
         )
-        q_e = _rows(q_n, se.edge_tgt)
-    pre, _att = _attention(q_e, k_e, pri_e, mask, H, dk)   # pre = att / pri
 
-    g_aggr = g_aggr.astype(jnp.float32)
-    g_msg = _rows(g_aggr, se.edge_tgt)                            # [E, D] gather
+    g_aggr_l = g_aggr.astype(dt)                           # [N, D] table
+    g_msg = _rows(g_aggr_l, se.edge_tgt)                   # node gather
     v_eh = v_e.astype(jnp.float32).reshape(E, H, dk)
-    g_msg_h = g_msg.reshape(E, H, dk)
+    g_msg_h = g_msg.astype(jnp.float32).reshape(E, H, dk)
     g_w = jnp.sum(g_msg_h * v_eh, axis=-1)                 # [E, H]
-    g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D)
 
     # softmax backward: g_att = w * (g_w - sum_seg(w * g_w))
     s_n = seg_sum_tiled(w * g_w, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
@@ -275,36 +296,75 @@ def _edge_bwd(dims, res, g_aggr):
 
     g_pri_e = g_att * pre                                  # [E, H]
     coef = g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
-    k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
-    q_eh = q_e.astype(jnp.float32).reshape(E, H, dk)
-    g_q_e = (coef[:, :, None] * k_eh).reshape(E, D)
-    g_k_e = (coef[:, :, None] * q_eh).reshape(E, D)
 
-    # gather transposes as tiled segment sums (no scatter anywhere)
+    # tgt-grouped: g_q_n (k_e is already in tgt order)
+    k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
+    g_q_e = (coef[:, :, None] * k_eh).reshape(E, D).astype(dt)
     g_q_n = seg_sum_tiled(g_q_e, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
-    g_k_rel = seg_sum_tiled(
-        _rows(g_k_e, se.perm_src), se.tl_src, se.live_idx_src, se.seg_ptr2_src
-    )
-    g_v_rel = seg_sum_tiled(
-        _rows(g_v_e, se.perm_src), se.tl_src, se.live_idx_src, se.seg_ptr2_src
-    )
-    if use_rte:
-        g_k_tab = seg_sum_tiled(
-            _rows(g_k_e, se.perm_tab), se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
+
+    if recompute:
+        q_l = q_n.astype(dt)
+
+        def grads_in_order(perm, tgt_order, tl, live_idx, seg_ptr2):
+            """g_k (= coef⊙q_tgt) and g_v (= w⊙g_aggr_tgt) segment sums
+            over one grouping, recomputed natively in that grouping's
+            edge order."""
+            coef_o = _rows(coef, perm)                     # [E, H] cheap
+            w_o = _rows(w, perm)
+            q_o = _rows(q_l, tgt_order).astype(jnp.float32).reshape(E, H, dk)
+            gm_o = _rows(g_aggr_l, tgt_order).astype(
+                jnp.float32).reshape(E, H, dk)
+            g_k = (coef_o[:, :, None] * q_o).reshape(E, D).astype(dt)
+            g_v = (w_o[:, :, None] * gm_o).reshape(E, D).astype(dt)
+            return (
+                seg_sum_tiled(g_k, tl, live_idx, seg_ptr2),
+                seg_sum_tiled(g_v, tl, live_idx, seg_ptr2),
+            )
+
+        g_k_rel, g_v_rel = grads_in_order(
+            se.perm_src, se.tgt_src_order,
+            se.tl_src, se.live_idx_src, se.seg_ptr2_src,
         )
-        g_v_tab = seg_sum_tiled(
-            _rows(g_v_e, se.perm_tab), se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab
-        )
+        if use_rte:
+            g_k_tab, g_v_tab = grads_in_order(
+                se.perm_tab, se.tgt_tab_order,
+                se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab,
+            )
+        else:
+            g_k_tab = jnp.zeros_like(k_tab)
+            g_v_tab = jnp.zeros_like(v_tab)
     else:
-        g_k_tab = jnp.zeros_like(k_tab)
-        g_v_tab = jnp.zeros_like(v_tab)
+        # permute strategy: one product per tensor, fused into the permute
+        q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32).reshape(E, H, dk)
+        g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
+        g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
+        g_k_rel = seg_sum_tiled(
+            _rows(g_k_e, se.perm_src),
+            se.tl_src, se.live_idx_src, se.seg_ptr2_src,
+        )
+        g_v_rel = seg_sum_tiled(
+            _rows(g_v_e, se.perm_src),
+            se.tl_src, se.live_idx_src, se.seg_ptr2_src,
+        )
+        if use_rte:
+            g_k_tab = seg_sum_tiled(
+                _rows(g_k_e, se.perm_tab),
+                se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab,
+            )
+            g_v_tab = seg_sum_tiled(
+                _rows(g_v_e, se.perm_tab),
+                se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab,
+            )
+        else:
+            g_k_tab = jnp.zeros_like(k_tab)
+            g_v_tab = jnp.zeros_like(v_tab)
 
     def f0_like(leaf):
         if jnp.issubdtype(leaf.dtype, jnp.inexact):
             return jnp.zeros_like(leaf)
         return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
 
-    g_se = jax.tree.map(f0_like, res[8])
+    g_se = jax.tree.map(f0_like, res[9])
     return (
         g_q_n.astype(q_n.dtype), g_k_rel.astype(k_rel.dtype),
         g_v_rel.astype(v_rel.dtype), g_k_tab.astype(k_tab.dtype),
@@ -327,10 +387,19 @@ def hgt_conv_core_sorted(
     n_heads: int,
     rte_vec=None,      # [L, Din] or None
     save_kv: bool = False,
+    edge_dtype=None,   # e.g. jnp.bfloat16: run the per-edge stage in bf16
+    bwd_recompute: bool = False,  # see _edge_bwd: permute vs recompute
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
     target-sorted layout — scatter-free forward and backward. ``save_kv``
-    trades ~3 E×D residual buffers for 3 fewer backward HBM gathers."""
+    trades 2 E×D residual buffers for 2 fewer backward HBM gathers.
+
+    ``edge_dtype=jnp.bfloat16`` casts the gathered tables (Q/K/V banks and
+    RTE tables) and every per-edge [E, D] tensor to bf16 — halving the
+    HBM-bound gather/reduce traffic that dominates the edge stage — while
+    attention logits, softmax, and all segment accumulations stay f32
+    (mixed-precision: values round to bf16 once per tensor, sums never
+    accumulate in bf16)."""
     from pyhgt_tpu.ops.hgt import (
         _block_relation_transform,
         _rte_block_tables,
@@ -366,9 +435,17 @@ def hgt_conv_core_sorted(
     # relation prior via one-hot matmul (gradient = transposed matmul)
     pri_e = se.rel_onehot @ rel_pri                       # [E, H]
 
+    q_n = q.reshape(N, Dout)
+    if edge_dtype is not None:
+        q_n = q_n.astype(edge_dtype)
+        k_rel = k_rel.astype(edge_dtype)
+        v_rel = v_rel.astype(edge_dtype)
+        k_tab = k_tab.astype(edge_dtype)
+        v_tab = v_tab.astype(edge_dtype)
+
     aggr = hgt_edge_stage(
-        q.reshape(N, Dout), k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte, save_kv), se,
+        q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
+        (H, dk, use_rte, save_kv, bwd_recompute), se,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
 

@@ -59,6 +59,11 @@ class SortedEdges:
     seg_ptr_src: np.ndarray   # [B*C+1]
     perm_tab: np.ndarray      # [E] permutation: tgt-order -> tabidx-sorted
     seg_ptr_tab: np.ndarray   # [B*L+1]
+    # composed node indices: edge_tgt[perm_*], so the backward can gather
+    # q/g_aggr rows *natively in each sorted order* instead of permuting
+    # [E, D] edge tensors (round-2 restructure, see ops/sorted_hgt.py)
+    tgt_src_order: np.ndarray  # [E] = edge_tgt[perm_src]
+    tgt_tab_order: np.ndarray  # [E] = edge_tgt[perm_tab]
     # tiled-reduction aux (tgt grouping, natural order)
     tl_tgt: np.ndarray        # [E]
     live_idx_tgt: np.ndarray  # [Mt]
@@ -200,9 +205,12 @@ def sort_edges(
     tl_src, li_src, _lk, _ll, sp2_src = _tiled_aux(key_src[perm_src], B * C)
     tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab[perm_tab], B * L)
 
+    safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
     return SortedEdges(
         edge_src=src.astype(np.int32),
-        edge_tgt=np.where(mask, tgt, N - 1).astype(np.int32),
+        edge_tgt=safe_tgt,
+        tgt_src_order=safe_tgt[perm_src],
+        tgt_tab_order=safe_tgt[perm_tab],
         edge_dt=dt.astype(np.int32),
         edge_mask=mask,
         gidx=gidx,

@@ -56,6 +56,30 @@ def make_community_graph(n_comm=4, papers_per=40, authors_per=12, seed=0):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("conv_name", ["rgcn", "han", "hetgnn"])
+def test_extra_convs_learn_community_venue(tmp_path, conv_name):
+    """The beyond-reference convs (which the reference CLI advertises but
+    never implements, ``/root/reference/OAG/train_paper_field.py:26-28``)
+    must actually LEARN, not just produce shapes: on the community graph
+    each clears chance NDCG (~0.56) by a wide margin with a falling loss."""
+    csr = make_community_graph()
+    cfg = ExperimentConfig(
+        task_name=f"community_{conv_name}", model_dir=str(tmp_path),
+        conv_name=conv_name,
+        n_hid=32, n_heads=4, n_layers=2, sample_depth=2, sample_width=16,
+        batch_size=16, n_batch=4, repeat=1, n_pool=2, n_epoch=6,
+        node_cap=128, edge_cap=256, native_sampler=False, max_lr=5e-3,
+        dropout=0.1,
+    )
+    out = run_node_classification(
+        cfg, csr, label_meta=("venue", "paper", "PV_in"), multi_label=True,
+        log=lambda s: None,
+    )
+    assert out["test_ndcg"] > 0.75, (conv_name, out["test_ndcg"])
+    assert out["history"][-1]["loss"] < out["history"][0]["loss"]
+
+
+@pytest.mark.slow
 def test_learns_community_venue(tmp_path):
     csr = make_community_graph()
     cfg = ExperimentConfig(

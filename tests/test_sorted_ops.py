@@ -87,7 +87,8 @@ def test_sorted_matches_reference_path(env, use_rte):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-def test_sorted_gradients_match(env):
+@pytest.mark.parametrize("bwd_recompute", [False, True])
+def test_sorted_gradients_match(env, bwd_recompute):
     layout, em, batch, se = env
     T, C = layout.num_types, layout.node_cap
     Din = Dout = 24
@@ -109,7 +110,8 @@ def test_sorted_gradients_match(env):
 
     def loss_sorted(params, x):
         out = hgt_conv_core_sorted(
-            x, se, em, n_heads=H, rte_vec=rte_vec, **params
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            bwd_recompute=bwd_recompute, **params
         )
         return jnp.sum(out * tgt)
 
@@ -123,6 +125,47 @@ def test_sorted_gradients_match(env):
             np.asarray(g_sort[0][k]), np.asarray(g_ref[0][k]),
             rtol=5e-3, atol=5e-4, err_msg=k,
         )
+
+
+@pytest.mark.parametrize("bwd_recompute", [False, True])
+def test_bf16_edge_stage_close_to_f32(env, bwd_recompute):
+    """edge_dtype=bf16 (mixed-precision edge stage) tracks the f32 sorted
+    path within bf16 rounding: values and every gradient."""
+    layout, em, batch, se = env
+    T, C = layout.num_types, layout.node_cap
+    Din = Dout = 24
+    H = 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(7)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, edge_dtype):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec, edge_dtype=edge_dtype,
+            bwd_recompute=bwd_recompute, **params,
+        )
+        return jnp.sum(out * tgt), out
+
+    (l32, o32), g32 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, None)
+    (l16, o16), g16 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, jnp.bfloat16)
+
+    assert o16.dtype == o32.dtype  # output dtype follows x, not edge_dtype
+    # bf16 has ~3 decimal digits; per-edge values round once, sums stay f32
+    scale = float(np.max(np.abs(np.asarray(o32)))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(o16), np.asarray(o32), rtol=0.05, atol=0.03 * scale)
+    for name, a16, a32 in [("x", g16[1], g32[1])] + [
+        (k, g16[0][k], g32[0][k]) for k in P
+    ]:
+        a16, a32 = np.asarray(a16, np.float64), np.asarray(a32, np.float64)
+        s = np.max(np.abs(a32)) + 1e-6
+        np.testing.assert_allclose(
+            a16, a32, rtol=0.08, atol=0.04 * s, err_msg=name)
 
 
 def test_dense_hgt_sorted_matches_segment(env):
