@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--no-edge_bf16", dest="edge_bf16", action="store_false")
     ap.add_argument("--edge_bwd", choices=["permute", "recompute"],
                     default=None, help="sorted-path backward strategy")
+    ap.add_argument("--seg_pallas", action="store_true", default=None,
+                    help="Pallas segment-sum kernel for the wide [E, D] "
+                         "reductions (ops/pallas_seg)")
+    ap.add_argument("--no-seg_pallas", dest="seg_pallas",
+                    action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +59,8 @@ def main() -> None:
         overrides["edge_bf16"] = args.edge_bf16
     if args.edge_bwd is not None:
         overrides["edge_bwd"] = args.edge_bwd
+    if args.seg_pallas is not None:
+        overrides["seg_pallas"] = args.seg_pallas
     fl = build_flagship(args.preset, **overrides)
     batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
     se = fl.sort(batch)

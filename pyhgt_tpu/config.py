@@ -36,6 +36,10 @@ class ExperimentConfig:
     save_kv: bool = False
     edge_bf16: bool = False            # sorted path: per-edge stage in bf16
                                        # (f32 softmax + accumulations)
+    edge_bwd: str = "permute"          # sorted-path backward strategy
+                                       # (ops/sorted_hgt._edge_bwd)
+    seg_pallas: bool = False           # sorted path: Pallas segment-sum
+                                       # kernel for wide [E, D] reductions
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

@@ -120,6 +120,8 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         edge_impl=cfg.edge_impl,
         save_kv=cfg.save_kv,
         edge_bf16=cfg.edge_bf16,
+        edge_bwd=cfg.edge_bwd,
+        seg_pallas=cfg.seg_pallas,
     )
 
 

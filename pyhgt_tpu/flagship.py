@@ -60,6 +60,7 @@ class FlagshipConfig:
     save_kv: bool = False
     edge_bf16: bool = False
     edge_bwd: str = "permute"
+    seg_pallas: bool = False
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
 
 
@@ -81,6 +82,9 @@ PRESETS: Dict[str, FlagshipConfig] = {
         n_heads=8, n_layers=4, n_classes=349, n_seed=128,
         remat=False, save_kv=True,  # custom-VJP residuals are node-level;
         # saving per-edge K/V/Q removes 3 backward HBM gathers per layer
+        edge_bf16=True, seg_pallas=True,  # measured winners (PERF_NOTES
+        # round 2): bf16 edge stage 304->291 ms, Pallas segment-sum
+        # kernel 291->224 ms on the chip
     ),
 }
 
@@ -113,6 +117,7 @@ class FlagshipModel(nn.Module):
             save_kv=c.save_kv,
             edge_bf16=c.edge_bf16,
             edge_bwd=c.edge_bwd,
+            seg_pallas=c.seg_pallas,
         )
         self.clf = Classifier(n_out=c.n_classes)
 

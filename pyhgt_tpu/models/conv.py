@@ -70,6 +70,8 @@ class HGTConv(nn.Module):
     edge_bf16: bool = False  # sorted path: run the per-edge stage in bf16
     edge_bwd: str = "permute"  # sorted-path backward strategy (see
                                # ops/sorted_hgt._edge_bwd): permute|recompute
+    seg_pallas: bool = False  # sorted path: Pallas segment-sum kernel for
+                              # the wide [E, D] reductions (ops/pallas_seg)
     graph_axis: str = ""   # set to a mesh axis name to run edge-partitioned
 
     def setup(self):
@@ -196,6 +198,7 @@ class HGTConv(nn.Module):
             save_kv = self.save_kv
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
+            seg_pallas = self.seg_pallas
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -204,6 +207,7 @@ class HGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
+                    seg_pallas=seg_pallas,
                 )
 
             if self.remat:
@@ -258,6 +262,7 @@ class DenseHGTConv(nn.Module):
     save_kv: bool = False
     edge_bf16: bool = False
     edge_bwd: str = "permute"
+    seg_pallas: bool = False
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -315,6 +320,7 @@ class DenseHGTConv(nn.Module):
             save_kv = self.save_kv
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
+            seg_pallas = self.seg_pallas
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -323,6 +329,7 @@ class DenseHGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
+                    seg_pallas=seg_pallas,
                 )
 
             if self.remat:
@@ -583,6 +590,7 @@ class GeneralConv(nn.Module):
     save_kv: bool = False
     edge_bf16: bool = False
     edge_bwd: str = "permute"
+    seg_pallas: bool = False
     graph_axis: str = ""
 
     def setup(self):
@@ -600,6 +608,7 @@ class GeneralConv(nn.Module):
             save_kv=self.save_kv,
             edge_bf16=self.edge_bf16,
             edge_bwd=self.edge_bwd,
+            seg_pallas=self.seg_pallas,
             graph_axis=self.graph_axis,
         )
         if self.conv_name == "hgt":

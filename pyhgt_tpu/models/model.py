@@ -41,6 +41,7 @@ class GNN(nn.Module):
     save_kv: bool = False
     edge_bf16: bool = False
     edge_bwd: str = "permute"
+    seg_pallas: bool = False
     graph_axis: str = ""
 
     def setup(self):
@@ -71,6 +72,7 @@ class GNN(nn.Module):
                     save_kv=self.save_kv,
                     edge_bf16=self.edge_bf16,
                     edge_bwd=self.edge_bwd,
+                    seg_pallas=self.seg_pallas,
                     graph_axis=self.graph_axis,
                 )
             )

@@ -171,6 +171,38 @@ def seg_max_tiled(data, seg_ids, live_last, live_key, seg_ptr2, K=_TILE):
     return seg_max_csr(live, live_key, seg_ptr2)
 
 
+_GROUPING_AUX = {
+    "tgt": ("tl_tgt", "live_idx_tgt", "seg_ptr2_tgt", "pseg_tgt"),
+    "src": ("tl_src", "live_idx_src", "seg_ptr2_src", "pseg_src"),
+    "tab": ("tl_tab", "live_idx_tab", "seg_ptr2_tab", "pseg_tab"),
+}
+
+
+def _seg_sum_grouped(data, se, grouping: str, use_pallas: bool):
+    """Per-segment sum of ``data`` (already in ``grouping``'s edge order).
+
+    ``use_pallas`` routes wide 2-D tensors through the Pallas live-partials
+    kernel (ops/pallas_seg.py) when the batch carries its aux; narrow
+    ([E, H]) and n-D data stay on the XLA tiled path where the kernel's
+    lane padding would waste the win.
+    """
+    tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
+    paux = getattr(se, paux_n, None)
+    if (
+        use_pallas
+        and paux is not None
+        and data.ndim == 2
+        and data.shape[1] >= 128
+    ):
+        from pyhgt_tpu.ops.pallas_seg import live_partials
+
+        live = live_partials(data, paux)
+        return seg_sum_csr(live, paux.ptr2)
+    return seg_sum_tiled(
+        data, getattr(se, tl_n), getattr(se, li_n), getattr(se, sp2_n)
+    )
+
+
 # --------------------------------------------------------------- edge stage
 def _rows(table, idx):
     # indices are host-constructed and in-bounds by contract; skip XLA's
@@ -224,6 +256,7 @@ def _softmax_tiled(att, se):
 
 def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     H, dk, use_rte = dims[0], dims[1], dims[2]
+    seg_pallas = len(dims) > 5 and dims[5]
     D = q_n.shape[-1]
     E = se.edge_tgt.shape[0]
     dt = k_rel.dtype
@@ -237,7 +270,7 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     msg = (
         w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)
     ).reshape(E, D).astype(dt)
-    aggr = seg_sum_tiled(msg, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    aggr = _seg_sum_grouped(msg, se, "tgt", seg_pallas)
     return aggr, w, pre, k_e, v_e
 
 
@@ -271,6 +304,7 @@ def _edge_bwd(dims, res, g_aggr):
     (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w, pre, kv, se) = res
     H, dk, use_rte = dims[0], dims[1], dims[2]
     recompute = len(dims) > 4 and dims[4]
+    seg_pallas = len(dims) > 5 and dims[5]
     D = q_n.shape[-1]
     E = se.edge_tgt.shape[0]
     dt = k_rel.dtype
@@ -300,12 +334,12 @@ def _edge_bwd(dims, res, g_aggr):
     # tgt-grouped: g_q_n (k_e is already in tgt order)
     k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
     g_q_e = (coef[:, :, None] * k_eh).reshape(E, D).astype(dt)
-    g_q_n = seg_sum_tiled(g_q_e, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    g_q_n = _seg_sum_grouped(g_q_e, se, "tgt", seg_pallas)
 
     if recompute:
         q_l = q_n.astype(dt)
 
-        def grads_in_order(perm, tgt_order, tl, live_idx, seg_ptr2):
+        def grads_in_order(perm, tgt_order, grouping):
             """g_k (= coef⊙q_tgt) and g_v (= w⊙g_aggr_tgt) segment sums
             over one grouping, recomputed natively in that grouping's
             edge order."""
@@ -317,18 +351,16 @@ def _edge_bwd(dims, res, g_aggr):
             g_k = (coef_o[:, :, None] * q_o).reshape(E, D).astype(dt)
             g_v = (w_o[:, :, None] * gm_o).reshape(E, D).astype(dt)
             return (
-                seg_sum_tiled(g_k, tl, live_idx, seg_ptr2),
-                seg_sum_tiled(g_v, tl, live_idx, seg_ptr2),
+                _seg_sum_grouped(g_k, se, grouping, seg_pallas),
+                _seg_sum_grouped(g_v, se, grouping, seg_pallas),
             )
 
         g_k_rel, g_v_rel = grads_in_order(
-            se.perm_src, se.tgt_src_order,
-            se.tl_src, se.live_idx_src, se.seg_ptr2_src,
+            se.perm_src, se.tgt_src_order, "src"
         )
         if use_rte:
             g_k_tab, g_v_tab = grads_in_order(
-                se.perm_tab, se.tgt_tab_order,
-                se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab,
+                se.perm_tab, se.tgt_tab_order, "tab"
             )
         else:
             g_k_tab = jnp.zeros_like(k_tab)
@@ -338,22 +370,18 @@ def _edge_bwd(dims, res, g_aggr):
         q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32).reshape(E, H, dk)
         g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
         g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
-        g_k_rel = seg_sum_tiled(
-            _rows(g_k_e, se.perm_src),
-            se.tl_src, se.live_idx_src, se.seg_ptr2_src,
+        g_k_rel = _seg_sum_grouped(
+            _rows(g_k_e, se.perm_src), se, "src", seg_pallas
         )
-        g_v_rel = seg_sum_tiled(
-            _rows(g_v_e, se.perm_src),
-            se.tl_src, se.live_idx_src, se.seg_ptr2_src,
+        g_v_rel = _seg_sum_grouped(
+            _rows(g_v_e, se.perm_src), se, "src", seg_pallas
         )
         if use_rte:
-            g_k_tab = seg_sum_tiled(
-                _rows(g_k_e, se.perm_tab),
-                se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab,
+            g_k_tab = _seg_sum_grouped(
+                _rows(g_k_e, se.perm_tab), se, "tab", seg_pallas
             )
-            g_v_tab = seg_sum_tiled(
-                _rows(g_v_e, se.perm_tab),
-                se.tl_tab, se.live_idx_tab, se.seg_ptr2_tab,
+            g_v_tab = _seg_sum_grouped(
+                _rows(g_v_e, se.perm_tab), se, "tab", seg_pallas
             )
         else:
             g_k_tab = jnp.zeros_like(k_tab)
@@ -389,6 +417,7 @@ def hgt_conv_core_sorted(
     save_kv: bool = False,
     edge_dtype=None,   # e.g. jnp.bfloat16: run the per-edge stage in bf16
     bwd_recompute: bool = False,  # see _edge_bwd: permute vs recompute
+    seg_pallas: bool = False,  # route wide segment sums through ops/pallas_seg
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
     target-sorted layout — scatter-free forward and backward. ``save_kv``
@@ -445,7 +474,7 @@ def hgt_conv_core_sorted(
 
     aggr = hgt_edge_stage(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte, save_kv, bwd_recompute), se,
+        (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas), se,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
 

@@ -30,6 +30,7 @@ import numpy as np
 from flax import struct
 
 from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.ops.pallas_seg import PK, PW, PallasSegAux
 from pyhgt_tpu.ops.rte import RTE_MAX_LEN
 from pyhgt_tpu.sampling.batch import BatchLayout, SubgraphBatch
 
@@ -78,9 +79,48 @@ class SortedEdges:
     tl_tab: np.ndarray        # [E]
     live_idx_tab: np.ndarray  # [Mtab]
     seg_ptr2_tab: np.ndarray  # [Gt+1]
+    # Pallas kernel aux (ops/pallas_seg.py), one per grouping; None when
+    # built with build_pallas_aux=False
+    pseg_tgt: Optional[PallasSegAux] = None
+    pseg_src: Optional[PallasSegAux] = None
+    pseg_tab: Optional[PallasSegAux] = None
 
 
 REDUCE_TILE = 128
+
+
+def pallas_seg_aux(key_sorted: np.ndarray, num_segments: int,
+                   K: int = PK, W: int = PW) -> PallasSegAux:
+    """Host aux for the Pallas segment-sum kernel over one grouping.
+
+    ``key_sorted [E]`` non-decreasing (sentinel ``num_segments`` for
+    padded edges, which therefore land in trailing live rows that
+    ``ptr2`` never selects).  All output shapes are static functions of
+    (E, num_segments, K, W) so the device program traces once per layout.
+    """
+    E = key_sorted.shape[0]
+    assert E % K == 0, f"edge count {E} not a multiple of the {K} tile"
+    assert W >= K, "W >= K keeps output-block steps <= 1"
+    tiles = E // K
+    k2 = key_sorted.reshape(tiles, K)
+    new = np.ones((tiles, K), dtype=bool)
+    new[:, 1:] = k2[:, 1:] != k2[:, :-1]
+    rank = (np.cumsum(new, axis=1) - 1).astype(np.int64)
+    n_live = rank[:, -1] + 1
+    live_off = np.concatenate([[0], np.cumsum(n_live)])       # [tiles+1]
+    loc = ((live_off[:-1] % W)[:, None] + rank).astype(np.int32)
+    blk = (live_off[:-1] // W).astype(np.int32)               # [tiles]
+    # static block-count bound: live rows <= num_segments + tiles; one
+    # extra block so the trailing flush never zero-clobbers real content
+    NB = (num_segments + tiles + W - 1) // W + 1
+    tail = np.minimum(blk[-1] + 1 + np.arange(NB - 1), NB - 1)
+    blk_ext = np.concatenate([blk, tail]).astype(np.int32)
+    pos = np.flatnonzero(new.reshape(E))      # first edge of each live row
+    live_key = key_sorted[pos]
+    ptr2 = np.searchsorted(live_key, np.arange(num_segments + 1)).astype(
+        np.int32
+    )
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2)
 
 
 def _tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int = REDUCE_TILE):
@@ -127,10 +167,11 @@ def sort_batch(
     layout: BatchLayout,
     em: Optional[EdgeStaticMeta] = None,
     num_relations: Optional[int] = None,
+    build_pallas_aux: bool = True,
 ) -> SortedEdges:
     return sort_edges(
         batch.edge_src, batch.edge_tgt, batch.edge_dt, batch.edge_mask,
-        layout, em, num_relations,
+        layout, em, num_relations, build_pallas_aux,
     )
 
 
@@ -142,6 +183,7 @@ def sort_edges(
     layout: BatchLayout,
     em: Optional[EdgeStaticMeta] = None,
     num_relations: Optional[int] = None,
+    build_pallas_aux: bool = True,
 ) -> SortedEdges:
     """Edge-arrays-only entry: callers holding flat edge arrays (e.g. the
     evaluator's forward wrapper) need not fabricate a full SubgraphBatch."""
@@ -169,9 +211,10 @@ def sort_edges(
     onehot = np.zeros((E, R), dtype=np.float32)
     onehot[np.arange(E), rel] = mask  # padded rows are all-zero
 
-    # pad the flat edge axis to the reduction tile (extra edges are masked
-    # and sort last, so every downstream pointer stays correct)
-    padn = (-E) % REDUCE_TILE
+    # pad the flat edge axis to the larger (Pallas) reduction tile (extra
+    # edges are masked and sort last, so every downstream pointer stays
+    # correct; PK is a multiple of REDUCE_TILE)
+    padn = (-E) % PK
     if padn:
         src = np.concatenate([src, np.zeros(padn, src.dtype)])
         tgt = np.concatenate([tgt, np.zeros(padn, tgt.dtype)])
@@ -205,6 +248,12 @@ def sort_edges(
     tl_src, li_src, _lk, _ll, sp2_src = _tiled_aux(key_src[perm_src], B * C)
     tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab[perm_tab], B * L)
 
+    pseg_tgt = pseg_src = pseg_tab = None
+    if build_pallas_aux:
+        pseg_tgt = pallas_seg_aux(key, N)
+        pseg_src = pallas_seg_aux(key_src[perm_src], B * C)
+        pseg_tab = pallas_seg_aux(key_tab[perm_tab], B * L)
+
     safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
     return SortedEdges(
         edge_src=src.astype(np.int32),
@@ -232,4 +281,7 @@ def sort_edges(
         tl_tab=tl_tab,
         live_idx_tab=li_tab,
         seg_ptr2_tab=sp2_tab,
+        pseg_tgt=pseg_tgt,
+        pseg_src=pseg_src,
+        pseg_tab=pseg_tab,
     )

@@ -1,0 +1,178 @@
+"""Pallas segment-sum kernel (ops/pallas_seg): parity with numpy and with
+the XLA tiled path, standalone and inside the sorted conv (value + grad).
+
+Runs in interpret mode on the CPU mesh (conftest pins the cpu platform);
+the real-chip numbers live in docs/PERF_NOTES.md (experiments/
+pallas_probe5.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
+from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+from pyhgt_tpu.ops.pallas_seg import PK, live_partials
+from pyhgt_tpu.ops.rte import rte_sin_table
+from pyhgt_tpu.ops.sorted_hgt import hgt_conv_core_sorted, seg_sum_csr
+from pyhgt_tpu.sampling.batch import BatchLayout
+from pyhgt_tpu.sampling.sorted_batch import pallas_seg_aux, sort_batch
+from pyhgt_tpu.utils.synth import synth_batch
+
+
+def _ref_seg_sum(keys, data, num_segments):
+    out = np.zeros((num_segments,) + data.shape[1:], np.float64)
+    valid = keys < num_segments
+    np.add.at(out, np.minimum(keys, num_segments - 1),
+              np.where(valid.reshape(-1, *([1] * (data.ndim - 1))), data, 0))
+    return out
+
+
+@pytest.mark.parametrize("E,S,n_pad", [
+    (PK, 40, 7),          # single tile
+    (4 * PK, 300, 0),     # no padded edges
+    (4 * PK, 300, 500),   # heavy padding tail
+    (8 * PK, 17, 3),      # few segments: many tiles per segment
+    (8 * PK, 8 * PK, 11),  # many segments: most rows live
+])
+def test_live_partials_matches_numpy(E, S, n_pad):
+    rng = np.random.default_rng(E + S + n_pad)
+    keys = np.sort(rng.integers(0, S, size=E - n_pad))
+    keys = np.concatenate([keys, np.full(n_pad, S)]).astype(np.int64)
+    aux = pallas_seg_aux(keys, S)
+    data = rng.normal(size=(E, 256)).astype(np.float32)
+    ref = _ref_seg_sum(keys, data, S)
+    out = seg_sum_csr(live_partials(jnp.asarray(data), aux),
+                      jnp.asarray(aux.ptr2))
+    scale = np.max(np.abs(ref)) + 1e-6
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_live_partials_bf16_input():
+    rng = np.random.default_rng(0)
+    E, S = 2 * PK, 100
+    keys = np.sort(rng.integers(0, S, size=E)).astype(np.int64)
+    aux = pallas_seg_aux(keys, S)
+    data = rng.normal(size=(E, 128)).astype(np.float32)
+    ref = _ref_seg_sum(keys, data, S)
+    out = seg_sum_csr(
+        live_partials(jnp.asarray(data, jnp.bfloat16), aux),
+        jnp.asarray(aux.ptr2),
+    )
+    scale = np.max(np.abs(ref)) + 1e-6
+    # values round to bf16 once; accumulation stays f32
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               rtol=2e-2, atol=1e-2 * scale)
+
+
+def test_live_partials_rejects_bad_shape():
+    aux = pallas_seg_aux(np.zeros(PK, np.int64), 4)
+    with pytest.raises(ValueError, match="aux tiles"):
+        live_partials(jnp.zeros((PK + 1, 128)), aux)
+
+
+@pytest.fixture(scope="module")
+def env():
+    schema = GraphSchema(
+        node_types=("paper", "author"),
+        metas=(
+            MetaRelation("paper", "author", "AP_write"),
+            MetaRelation("author", "paper", "rev_AP_write"),
+            MetaRelation("paper", "paper", "PP_cite"),
+        ),
+    )
+    layout = BatchLayout(
+        schema=schema, pad=PadSpec(node_cap=32, default_edge_cap=64)
+    )
+    em = EdgeStaticMeta.from_layout(layout)
+    batch = synth_batch(layout, np.random.default_rng(5), din=24,
+                        node_fill=0.8, edge_fill=0.7)
+    se = sort_batch(batch, layout, em)
+    return layout, em, batch, se
+
+
+def test_sorted_conv_seg_pallas_matches_xla(env):
+    """seg_pallas=True == seg_pallas=False through the full custom-VJP
+    conv: values and every gradient (the kernel covers fwd aggregation and
+    all five backward wide reductions)."""
+    layout, em, batch, se = env
+    T, C = layout.num_types, layout.node_cap
+    Din = Dout = 24
+    # Dout=24 < 128 stays on the XLA path; widen the head dim via H=1 to
+    # exercise the kernel guard both ways
+    H = 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(3)
+    P = {
+        "wq": rng.normal(size=(T, Din, Dout)).astype(np.float32) * 0.3,
+        "bq": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "wk": rng.normal(size=(T, Din, Dout)).astype(np.float32) * 0.3,
+        "bk": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "wv": rng.normal(size=(T, Din, Dout)).astype(np.float32) * 0.3,
+        "bv": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "rel_pri": (rng.normal(size=(R, H)) + 1).astype(np.float32),
+        "rel_att": rng.normal(size=(R, H, 6, 6)).astype(np.float32) * 0.3,
+        "rel_msg": rng.normal(size=(R, H, 6, 6)).astype(np.float32) * 0.3,
+    }
+    P = {k: jnp.asarray(v) for k, v in P.items()}
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, seg_pallas):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=seg_pallas, **params,
+        )
+        return jnp.sum(out * tgt), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, False)
+    (_, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, True)
+
+    # Dout=24 < 128: guard keeps everything on XLA; must be bit-comparable
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-6, atol=1e-6)
+
+    # widen to Dout=192 so the kernel actually runs
+    Dout2 = 192
+    dk2 = Dout2 // H
+    P2 = {
+        "wq": rng.normal(size=(T, Din, Dout2)).astype(np.float32) * 0.3,
+        "bq": rng.normal(size=(T, Dout2)).astype(np.float32) * 0.1,
+        "wk": rng.normal(size=(T, Din, Dout2)).astype(np.float32) * 0.3,
+        "bk": rng.normal(size=(T, Dout2)).astype(np.float32) * 0.1,
+        "wv": rng.normal(size=(T, Din, Dout2)).astype(np.float32) * 0.3,
+        "bv": rng.normal(size=(T, Dout2)).astype(np.float32) * 0.1,
+        "rel_pri": (rng.normal(size=(R, H)) + 1).astype(np.float32),
+        "rel_att": rng.normal(size=(R, H, dk2, dk2)).astype(np.float32) * 0.3,
+        "rel_msg": rng.normal(size=(R, H, dk2, dk2)).astype(np.float32) * 0.3,
+    }
+    P2 = {k: jnp.asarray(v) for k, v in P2.items()}
+    tgt2 = jnp.asarray(rng.normal(size=(T, C, Dout2)).astype(np.float32))
+
+    def loss2(params, x, seg_pallas):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=seg_pallas, **params,
+        )
+        return jnp.sum(out * tgt2), out
+
+    (_, p0), gp0 = jax.value_and_grad(loss2, argnums=(0, 1), has_aux=True)(
+        P2, x, False)
+    (_, p1), gp1 = jax.value_and_grad(loss2, argnums=(0, 1), has_aux=True)(
+        P2, x, True)
+    scale = float(np.max(np.abs(np.asarray(p0)))) + 1e-6
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-4, atol=1e-4 * scale)
+    for name, a, b in [("x", gp1[1], gp0[1])] + [
+        (k, gp1[0][k], gp0[0][k]) for k in P2
+    ]:
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        s = np.max(np.abs(b)) + 1e-6
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4 * s,
+                                   err_msg=name)
