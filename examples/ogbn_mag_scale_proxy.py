@@ -76,12 +76,11 @@ def build(scale: float, seed: int = 0):
     w_src, w_tgt = endpoints(s(REAL["e_writes"]), comm_a, nA, comm_p, nP)
     c_src, c_tgt = endpoints(s(REAL["e_cites"]), comm_p, nP, comm_p, nP)
     f_src, f_tgt = endpoints(s(REAL["e_topic"]), comm_p, nP, comm_f, nF)
-    a_src = np.arange(nA)
-    a_tgt = r.integers(0, nI, size=nA)
-    if scale >= 0.99:
-        extra = s(REAL["e_aff"]) - nA
-        a_src = np.concatenate([a_src, r.integers(0, nA, size=extra)])
-        a_tgt = np.concatenate([a_tgt, r.integers(0, nI, size=extra)])
+    # real ogbn-mag has FEWER affiliation edges than authors (1.04M vs
+    # 1.13M — not every author is affiliated); sample endpoints directly
+    n_aff = s(REAL["e_aff"])
+    a_src = r.integers(0, nA, size=n_aff)
+    a_tgt = r.integers(0, nI, size=n_aff)
 
     years = r.integers(2010, 2020, size=nP)
     centroids = r.normal(size=(nC, REAL["feat_dim"])) * 0.3
@@ -161,6 +160,8 @@ def main() -> int:
         scheduler="onecycle", max_lr=5e-4, clip=1.0,
         n_epoch=args.n_epoch, vr_num=args.vr_num,
         save_kv=True, calibrate_caps=True,
+        # production kernel config (bench-validated winners, PERF_NOTES r2)
+        edge_bf16=True, seg_pallas=True,
     )
     out = run_ogbn(cfg, graph, max_eval_nodes=args.max_eval_nodes)
     res = dict(

@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(defaults: field,paper,PF_in_L2 for paper_field; "
                         "venue,paper,PV_Journal for paper_venue)")
     p.add_argument("--data", dest="data_path", required=True,
-                   help="CSRGraph pickle, or a reference .pk (auto-converted)")
+                   help="CSRGraph pickle, a save_dir directory "
+                        "(mmap-loaded), or a reference .pk (auto-converted)")
     ref = ExperimentConfig()
     for f in dataclasses.fields(ExperimentConfig):
         if f.name in ("data_path", "task_name"):
@@ -51,8 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_graph(path: str):
+    import os
+
     from pyhgt_tpu.graph.csr import CSRGraph
 
+    if os.path.isdir(path):
+        # save_dir layout: memory-mapped arrays, nothing fully resident —
+        # the large-graph path (the reference's 8.1 GB OAG-CS pickle
+        # story, /root/reference/README.md:43)
+        return CSRGraph.load_dir(path, mmap=True)
     try:
         return CSRGraph.load(path)
     except Exception:

@@ -256,6 +256,17 @@ def test_cli_main_end_to_end(toy_env, tmp_path, monkeypatch):
     assert rc == 0
 
 
+def test_cli_load_graph_from_save_dir(toy_env, tmp_path):
+    """--data accepts a save_dir directory and mmap-loads it."""
+    from pyhgt_tpu.run import load_graph
+
+    gdir = str(tmp_path / "toy_dir")
+    toy_env.save_dir(gdir)
+    g = load_graph(gdir)
+    assert g.num_nodes == toy_env.num_nodes
+    assert set(g.schema.metas) == set(toy_env.schema.metas)
+
+
 def test_metrics_jsonl_written(toy_env, tmp_path):
     import json
 
