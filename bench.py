@@ -46,6 +46,8 @@ def main() -> None:
                          "reductions (ops/pallas_seg)")
     ap.add_argument("--no-seg_pallas", dest="seg_pallas",
                     action="store_false")
+    ap.add_argument("--softmax_pallas", action="store_true", default=None,
+                    help="fused online-softmax Pallas kernel (experimental)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +63,8 @@ def main() -> None:
         overrides["edge_bwd"] = args.edge_bwd
     if args.seg_pallas is not None:
         overrides["seg_pallas"] = args.seg_pallas
+    if args.softmax_pallas is not None:
+        overrides["softmax_pallas"] = args.softmax_pallas
     fl = build_flagship(args.preset, **overrides)
     batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
     se = fl.sort(batch)

@@ -40,6 +40,8 @@ class ExperimentConfig:
                                        # (ops/sorted_hgt._edge_bwd)
     seg_pallas: bool = False           # sorted path: Pallas segment-sum
                                        # kernel for wide [E, D] reductions
+    softmax_pallas: bool = False       # fused online-softmax kernel
+                                       # (experimental, see PERF_NOTES)
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

@@ -122,6 +122,7 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         edge_bf16=cfg.edge_bf16,
         edge_bwd=cfg.edge_bwd,
         seg_pallas=cfg.seg_pallas,
+        softmax_pallas=cfg.softmax_pallas,
     )
 
 

@@ -61,6 +61,8 @@ class FlagshipConfig:
     edge_bf16: bool = False
     edge_bwd: str = "permute"
     seg_pallas: bool = False
+    softmax_pallas: bool = False  # experimental (probe8-p5: standalone win,
+    # full-step regression — see PERF_NOTES round 2)
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
 
 
@@ -118,6 +120,7 @@ class FlagshipModel(nn.Module):
             edge_bf16=c.edge_bf16,
             edge_bwd=c.edge_bwd,
             seg_pallas=c.seg_pallas,
+            softmax_pallas=c.softmax_pallas,
         )
         self.clf = Classifier(n_out=c.n_classes)
 

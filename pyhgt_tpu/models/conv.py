@@ -72,6 +72,8 @@ class HGTConv(nn.Module):
                                # ops/sorted_hgt._edge_bwd): permute|recompute
     seg_pallas: bool = False  # sorted path: Pallas segment-sum kernel for
                               # the wide [E, D] reductions (ops/pallas_seg)
+    softmax_pallas: bool = False  # sorted path: fused online-softmax kernel
+                                  # (experimental; see ops/sorted_hgt)
     graph_axis: str = ""   # set to a mesh axis name to run edge-partitioned
 
     def setup(self):
@@ -199,6 +201,7 @@ class HGTConv(nn.Module):
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
             seg_pallas = self.seg_pallas
+            softmax_pallas = self.softmax_pallas
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -207,7 +210,7 @@ class HGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
-                    seg_pallas=seg_pallas,
+                    seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
                 )
 
             if self.remat:
@@ -263,6 +266,7 @@ class DenseHGTConv(nn.Module):
     edge_bf16: bool = False
     edge_bwd: str = "permute"
     seg_pallas: bool = False
+    softmax_pallas: bool = False
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -321,6 +325,7 @@ class DenseHGTConv(nn.Module):
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
             seg_pallas = self.seg_pallas
+            softmax_pallas = self.softmax_pallas
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -329,7 +334,7 @@ class DenseHGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
-                    seg_pallas=seg_pallas,
+                    seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
                 )
 
             if self.remat:
@@ -591,6 +596,7 @@ class GeneralConv(nn.Module):
     edge_bf16: bool = False
     edge_bwd: str = "permute"
     seg_pallas: bool = False
+    softmax_pallas: bool = False
     graph_axis: str = ""
 
     def setup(self):
@@ -609,6 +615,7 @@ class GeneralConv(nn.Module):
             edge_bf16=self.edge_bf16,
             edge_bwd=self.edge_bwd,
             seg_pallas=self.seg_pallas,
+            softmax_pallas=self.softmax_pallas,
             graph_axis=self.graph_axis,
         )
         if self.conv_name == "hgt":

@@ -42,6 +42,7 @@ class GNN(nn.Module):
     edge_bf16: bool = False
     edge_bwd: str = "permute"
     seg_pallas: bool = False
+    softmax_pallas: bool = False
     graph_axis: str = ""
 
     def setup(self):
@@ -73,6 +74,7 @@ class GNN(nn.Module):
                     edge_bf16=self.edge_bf16,
                     edge_bwd=self.edge_bwd,
                     seg_pallas=self.seg_pallas,
+                    softmax_pallas=self.softmax_pallas,
                     graph_axis=self.graph_axis,
                 )
             )

@@ -62,11 +62,15 @@ class PallasSegAux:
     ``blk [tiles + NB - 1]``: output block index per grid step; the
     trailing ``NB - 1`` sentinel steps flush the carry and zero the tail.
     ``ptr2 [S + 1]``: CSR over live rows per segment (level-2 combine).
+    ``live_key [NB * W]``: segment id per output/live row (sentinel
+    ``num_segments`` for dead rows) — drives the level-2 segmented max in
+    :func:`segment_softmax_partials`'s combine.
     """
 
     loc: np.ndarray
     blk: np.ndarray
     ptr2: np.ndarray
+    live_key: Optional[np.ndarray] = None
 
 
 def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
@@ -150,6 +154,281 @@ def _live_partials_call(blk, loc, data, *, precision, interpret):
             transcendentals=0,
         ),
     )(blk, loc3, data)
+
+
+def _seg_kernel_pair(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
+                     d1_ref, d2_ref, o1_ref, o2_ref, a1_ref, a2_ref):
+    """Two independent segment sums sharing one grid pass and one-hot.
+
+    Same contract as :func:`_seg_kernel` per tensor; pairing the
+    backward's g_k/g_v reductions (same grouping, same aux) saves a full
+    grid traversal + one-hot construction per pair — measured ~2.5 ms per
+    pair at bench scale vs two separate calls (probe8/probe9).
+    Concatenating instead ([E, 2D] through one matmul) LOSES: the one-hot
+    matmul FLOPs double (probe6-f2).
+    """
+    t = pl.program_id(0)
+    cur = blk_ref[t]
+    prev = blk_ref[jnp.maximum(t - 1, 0)]
+
+    @pl.when(t == 0)
+    def _():
+        a1_ref[...] = jnp.zeros_like(a1_ref)
+        a2_ref[...] = jnp.zeros_like(a2_ref)
+
+    @pl.when(jnp.logical_and(t > 0, cur != prev))
+    def _():
+        a1_ref[0:W, :] = a1_ref[W:, :]
+        a1_ref[W:, :] = jnp.zeros_like(a1_ref[W:, :])
+        a2_ref[0:W, :] = a2_ref[W:, :]
+        a2_ref[W:, :] = jnp.zeros_like(a2_ref[W:, :])
+
+    @pl.when(t < n_tiles)
+    def _():
+        loc = loc_ref[0, 0, :].reshape(K, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        oh = (loc == col).astype(jnp.bfloat16)
+        for x_ref, acc_ref in ((d1_ref, a1_ref), (d2_ref, a2_ref)):
+            x = x_ref[...]
+            hi = x.astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                oh, hi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if split_hi_lo:
+                lo = (x.astype(jnp.float32) - hi.astype(jnp.float32)
+                      ).astype(jnp.bfloat16)
+                part += jax.lax.dot_general(
+                    oh, lo, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_ref[...] += part
+
+    o1_ref[...] = a1_ref[0:W, :]
+    o2_ref[...] = a2_ref[0:W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def _live_partials_pair_call(blk, loc, d1, d2, *, precision, interpret):
+    n_tiles, K = loc.shape
+    D = d1.shape[-1]
+    W = PW
+    NB = blk.shape[0] - n_tiles + 1
+    split = precision == "high" and d1.dtype == jnp.float32
+    kernel = functools.partial(_seg_kernel_pair, K, W, n_tiles, split)
+    loc3 = loc.reshape(n_tiles, 1, K)
+    data_spec = pl.BlockSpec(
+        (K, D), lambda t, b: (jnp.minimum(t, n_tiles - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec((W, D), lambda t, b: (b[t], 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(blk.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 1, K),
+                         lambda t, b: (jnp.minimum(t, n_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            data_spec,
+            data_spec,
+        ],
+        out_specs=[out_spec, out_spec],
+        scratch_shapes=[pltpu.VMEM((K + W, D), jnp.float32),
+                        pltpu.VMEM((K + W, D), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NB * W, D), jnp.float32),
+                   jax.ShapeDtypeStruct((NB * W, D), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_tiles * K * (K + W) * D * (2 if split else 1),
+            bytes_accessed=2 * (d1.size * d1.dtype.itemsize
+                                + NB * W * D * 4),
+            transcendentals=0,
+        ),
+    )(blk, loc3, d1, d2)
+
+
+def live_partials_pair(d1, d2, aux: PallasSegAux, *, precision: str = "high",
+                       interpret: Optional[bool] = None):
+    """Per-(tile, local-segment) partial sums of TWO same-shape sorted
+    tensors under the same grouping — one grid pass, shared one-hot.
+    Returns ``(p1, p2)``, each as :func:`live_partials` would."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if d1.shape != d2.shape:
+        raise ValueError(f"pair shapes differ: {d1.shape} vs {d2.shape}")
+    E, D = d1.shape
+    n_tiles, K = aux.loc.shape
+    if E != n_tiles * K:
+        raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
+    return _live_partials_pair_call(
+        jnp.asarray(aux.blk), jnp.asarray(aux.loc), d1, d2,
+        precision=precision, interpret=interpret,
+    )
+
+
+def _softmax_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, att_ref,
+                    m_out, s_out, m_acc, s_acc):
+    t = pl.program_id(0)
+    cur = blk_ref[t]
+    prev = blk_ref[jnp.maximum(t - 1, 0)]
+
+    @pl.when(t == 0)
+    def _():
+        m_acc[...] = jnp.zeros_like(m_acc)
+        s_acc[...] = jnp.zeros_like(s_acc)
+
+    @pl.when(jnp.logical_and(t > 0, cur != prev))
+    def _():
+        m_acc[0:W, :] = m_acc[W:, :]
+        m_acc[W:, :] = jnp.zeros_like(m_acc[W:, :])
+        s_acc[0:W, :] = s_acc[W:, :]
+        s_acc[W:, :] = jnp.zeros_like(s_acc[W:, :])
+
+    @pl.when(t < n_tiles)
+    def _():
+        loc = loc_ref[0, 0, :].reshape(K, 1)                  # [K, 1] int32
+        att = att_ref[...].astype(jnp.float32)                # [K, H]
+        H = att.shape[-1]
+        neg = jnp.float32(-1e30)
+
+        # forward segmented running max (Hillis–Steele over same-loc runs)
+        x = att
+        s = 1
+        while s < K:
+            sx = jnp.concatenate(
+                [jnp.full((s, H), neg, jnp.float32), x[:-s]], axis=0
+            )
+            sid = jnp.concatenate(
+                [jnp.full((s, 1), -1, loc.dtype), loc[:-s]], axis=0
+            )
+            x = jnp.where(sid == loc, jnp.maximum(x, sx), x)
+            s *= 2
+        # reverse propagation: every row gets its full rank max
+        s = 1
+        while s < K:
+            sx = jnp.concatenate(
+                [x[s:], jnp.full((s, H), neg, jnp.float32)], axis=0
+            )
+            sid = jnp.concatenate(
+                [loc[s:], jnp.full((s, 1), -2, loc.dtype)], axis=0
+            )
+            x = jnp.where(sid == loc, jnp.maximum(x, sx), x)
+            s *= 2
+
+        # canonical stabilizer: the bf16 rounding of the rank max. exp()
+        # below and the level-2 combine both use exactly this value, so
+        # the softmax VALUE stays exact while the emitted m rows are
+        # bf16-representable (single-matmul emission loses nothing).
+        m_can = x.astype(jnp.bfloat16).astype(jnp.float32)     # [K, H]
+        # masked edges carry att == -1e30; bf16 rounding of the max can
+        # land below it, so gate them to zero (real logits never approach
+        # -5e29) and bound the exponent (<= 0.4% of |max| for real rows)
+        ex = jnp.where(
+            att > jnp.float32(-5e29),
+            jnp.exp(jnp.minimum(att - m_can, jnp.float32(80.0))),
+            0.0,
+        )
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        oh = (loc == col).astype(jnp.bfloat16)
+
+        nxt = jnp.concatenate(
+            [loc[1:], jnp.full((1, 1), -3, loc.dtype)], axis=0
+        )
+        is_last = loc != nxt                                    # [K, 1]
+        m_contrib = jnp.where(is_last, m_can, 0.0).astype(jnp.bfloat16)
+        m_acc[...] += jax.lax.dot_general(
+            oh, m_contrib, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hi = ex.astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oh, hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if split_hi_lo:
+            lo = (ex - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            part += jax.lax.dot_general(
+                oh, lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        s_acc[...] += part
+
+    m_out[...] = m_acc[0:W, :]
+    s_out[...] = s_acc[0:W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def _softmax_partials_call(blk, loc, att, *, precision, interpret):
+    n_tiles, K = loc.shape
+    H = att.shape[-1]
+    W = PW
+    NB = blk.shape[0] - n_tiles + 1
+    split = precision == "high"
+    kernel = functools.partial(_softmax_kernel, K, W, n_tiles, split)
+    loc3 = loc.reshape(n_tiles, 1, K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(blk.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 1, K),
+                         lambda t, b: (jnp.minimum(t, n_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, H), lambda t, b: (jnp.minimum(t, n_tiles - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, H), lambda t, b: (b[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, H), lambda t, b: (b[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((K + W, H), jnp.float32),
+                        pltpu.VMEM((K + W, H), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NB * W, H), jnp.float32),
+                   jax.ShapeDtypeStruct((NB * W, H), jnp.float32)],
+        interpret=interpret,
+    )(blk, loc3, att)
+
+
+def segment_softmax_partials(att, aux: PallasSegAux, *,
+                             precision: str = "high",
+                             interpret: Optional[bool] = None):
+    """Per-(tile, local-segment) online-softmax partials of tgt-sorted
+    ``att [E, H]`` — the fused flash-style stage-1 of the TPU-native
+    segment softmax (replaces the reference's scatter-based
+    ``torch_geometric.utils.softmax``, ``/root/reference/pyHGT/
+    conv.py:8,108``).
+
+    Returns ``(m_rows, s_rows)``, both ``[NB * W, H]`` f32: for live row
+    j (segment-ordered, CSR ``aux.ptr2``), ``m_rows[j]`` is the
+    bf16-canonical max of that (tile, segment) slice and ``s_rows[j]``
+    the sum of ``exp(att - m)`` over it.  The caller combines rows with
+    the standard online-softmax merge (see
+    :func:`pyhgt_tpu.ops.sorted_hgt._softmax_pallas`); because ``exp``
+    here and the combine both use the same canonical m, the softmax
+    value is exact up to f32 rounding — the stabilizer being the bf16
+    rounding of the max (≤0.4% off) affects only overflow headroom.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E, H = att.shape
+    n_tiles, K = aux.loc.shape
+    if E != n_tiles * K:
+        raise ValueError(f"att rows {E} != aux tiles {n_tiles} * {K}")
+    return _softmax_partials_call(
+        jnp.asarray(aux.blk), jnp.asarray(aux.loc), att,
+        precision=precision, interpret=interpret,
+    )
 
 
 def live_partials(data, aux: PallasSegAux, *, precision: str = "high",

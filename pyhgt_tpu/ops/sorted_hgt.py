@@ -178,28 +178,52 @@ _GROUPING_AUX = {
 }
 
 
-def _seg_sum_grouped(data, se, grouping: str, use_pallas: bool):
-    """Per-segment sum of ``data`` (already in ``grouping``'s edge order).
-
-    ``use_pallas`` routes wide 2-D tensors through the Pallas live-partials
-    kernel (ops/pallas_seg.py) when the batch carries its aux; narrow
-    ([E, H]) and n-D data stay on the XLA tiled path where the kernel's
-    lane padding would waste the win.
-    """
-    tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
-    paux = getattr(se, paux_n, None)
-    if (
+def _pallas_ok(data, paux, use_pallas: bool) -> bool:
+    # narrow ([E, H]) and n-D data stay on the XLA tiled path where the
+    # kernel's lane padding would waste the win (probe7: narrow kernel
+    # marginal 1.45 ms vs 0.6 ms XLA)
+    return (
         use_pallas
         and paux is not None
         and data.ndim == 2
         and data.shape[1] >= 128
-    ):
+    )
+
+
+def _seg_sum_grouped(data, se, grouping: str, use_pallas: bool):
+    """Per-segment sum of ``data`` (already in ``grouping``'s edge order).
+
+    ``use_pallas`` routes wide 2-D tensors through the Pallas live-partials
+    kernel (ops/pallas_seg.py) when the batch carries its aux.
+    """
+    tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
+    paux = getattr(se, paux_n, None)
+    if _pallas_ok(data, paux, use_pallas):
         from pyhgt_tpu.ops.pallas_seg import live_partials
 
         live = live_partials(data, paux)
         return seg_sum_csr(live, paux.ptr2)
     return seg_sum_tiled(
         data, getattr(se, tl_n), getattr(se, li_n), getattr(se, sp2_n)
+    )
+
+
+def _seg_sum_grouped_pair(d1, d2, se, grouping: str, use_pallas: bool):
+    """Segment sums of TWO same-shape tensors in the same grouping order.
+
+    Routes through :func:`pyhgt_tpu.ops.pallas_seg.live_partials_pair`
+    (one grid pass, shared one-hot — the backward's g_k/g_v pairs) when
+    eligible; otherwise two independent reductions."""
+    tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
+    paux = getattr(se, paux_n, None)
+    if _pallas_ok(d1, paux, use_pallas) and d1.shape == d2.shape:
+        from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+
+        l1, l2 = live_partials_pair(d1, d2, paux)
+        return seg_sum_csr(l1, paux.ptr2), seg_sum_csr(l2, paux.ptr2)
+    return (
+        _seg_sum_grouped(d1, se, grouping, use_pallas),
+        _seg_sum_grouped(d2, se, grouping, use_pallas),
     )
 
 
@@ -254,6 +278,28 @@ def _softmax_tiled(att, se):
     return ex / den_e
 
 
+def _softmax_pallas(att, se):
+    """Segment softmax via the fused Pallas online-partials kernel
+    (:func:`pyhgt_tpu.ops.pallas_seg.segment_softmax_partials`): one HBM
+    pass over [E, H] emits per-(tile, rank) (max, sumexp) live rows; the
+    level-2 online merge runs on the ~S-row live space; the final
+    normalize fuses into downstream consumers."""
+    from pyhgt_tpu.ops.pallas_seg import segment_softmax_partials
+
+    paux = se.pseg_tgt
+    S = paux.ptr2.shape[0] - 1
+    m_rows, s_rows = segment_softmax_partials(att, paux)
+    key = paux.live_key
+    m_n = seg_max_csr(m_rows, key, paux.ptr2)              # [S, H]
+    key_safe = jnp.minimum(key, S - 1)
+    # online merge: den = sum over live rows of exp(m_row - m_seg) * s_row
+    scale = jnp.exp(jnp.minimum(m_rows - m_n[key_safe], 0.0))
+    den_n = seg_sum_csr(scale * s_rows, paux.ptr2)
+    ex = jnp.exp(att - m_n[se.edge_tgt]) * se.edge_mask[:, None]
+    den_e = jnp.maximum(den_n[se.edge_tgt], 1e-30)
+    return ex / den_e
+
+
 def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     H, dk, use_rte = dims[0], dims[1], dims[2]
     seg_pallas = len(dims) > 5 and dims[5]
@@ -263,7 +309,18 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte)
     q_e = _rows(q_n, se.edge_tgt)
     pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk)
-    w = _softmax_tiled(att, se)                              # [E, H] f32
+    # the online-partials softmax kernel wins standalone (3.9 vs 4.8 ms
+    # marginal, probe8-p5) but LOST 15 ms in the full step (scheduling /
+    # fusion interaction) — off by default, selectable via dims[6]
+    softmax_pallas = len(dims) > 6 and dims[6]
+    if (
+        softmax_pallas
+        and se.pseg_tgt is not None
+        and getattr(se.pseg_tgt, "live_key", None) is not None
+    ):
+        w = _softmax_pallas(att, se)                         # [E, H] f32
+    else:
+        w = _softmax_tiled(att, se)                          # [E, H] f32
     # per-edge messages written in the operand dtype (bf16 when the caller
     # runs the edge stage in bf16) — halves the [E, D] reduce traffic; the
     # tiled reduction still accumulates f32
@@ -350,10 +407,7 @@ def _edge_bwd(dims, res, g_aggr):
                 jnp.float32).reshape(E, H, dk)
             g_k = (coef_o[:, :, None] * q_o).reshape(E, D).astype(dt)
             g_v = (w_o[:, :, None] * gm_o).reshape(E, D).astype(dt)
-            return (
-                _seg_sum_grouped(g_k, se, grouping, seg_pallas),
-                _seg_sum_grouped(g_v, se, grouping, seg_pallas),
-            )
+            return _seg_sum_grouped_pair(g_k, g_v, se, grouping, seg_pallas)
 
         g_k_rel, g_v_rel = grads_in_order(
             se.perm_src, se.tgt_src_order, "src"
@@ -366,22 +420,19 @@ def _edge_bwd(dims, res, g_aggr):
             g_k_tab = jnp.zeros_like(k_tab)
             g_v_tab = jnp.zeros_like(v_tab)
     else:
-        # permute strategy: one product per tensor, fused into the permute
+        # permute strategy: one product per tensor, fused into the permute;
+        # the paired kernel shares the grid pass + one-hot per grouping
         q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32).reshape(E, H, dk)
         g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
         g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
-        g_k_rel = _seg_sum_grouped(
-            _rows(g_k_e, se.perm_src), se, "src", seg_pallas
-        )
-        g_v_rel = _seg_sum_grouped(
-            _rows(g_v_e, se.perm_src), se, "src", seg_pallas
+        g_k_rel, g_v_rel = _seg_sum_grouped_pair(
+            _rows(g_k_e, se.perm_src), _rows(g_v_e, se.perm_src),
+            se, "src", seg_pallas,
         )
         if use_rte:
-            g_k_tab = _seg_sum_grouped(
-                _rows(g_k_e, se.perm_tab), se, "tab", seg_pallas
-            )
-            g_v_tab = _seg_sum_grouped(
-                _rows(g_v_e, se.perm_tab), se, "tab", seg_pallas
+            g_k_tab, g_v_tab = _seg_sum_grouped_pair(
+                _rows(g_k_e, se.perm_tab), _rows(g_v_e, se.perm_tab),
+                se, "tab", seg_pallas,
             )
         else:
             g_k_tab = jnp.zeros_like(k_tab)
@@ -418,6 +469,8 @@ def hgt_conv_core_sorted(
     edge_dtype=None,   # e.g. jnp.bfloat16: run the per-edge stage in bf16
     bwd_recompute: bool = False,  # see _edge_bwd: permute vs recompute
     seg_pallas: bool = False,  # route wide segment sums through ops/pallas_seg
+    softmax_pallas: bool = False,  # fused online-softmax kernel (see
+    # _edge_fwd_impl: standalone win, full-step loss — experimental)
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
     target-sorted layout — scatter-free forward and backward. ``save_kv``
@@ -474,7 +527,8 @@ def hgt_conv_core_sorted(
 
     aggr = hgt_edge_stage(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas), se,
+        (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
+         softmax_pallas), se,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
 

@@ -120,6 +120,56 @@ def pallas_seg_aux(key_sorted: np.ndarray, num_segments: int,
     ptr2 = np.searchsorted(live_key, np.arange(num_segments + 1)).astype(
         np.int32
     )
+    # out row j == global live index j (blk*W + loc == live_off + rank),
+    # so the per-row segment key is the live list padded with sentinel
+    live_key_ext = np.full(NB * W, num_segments, dtype=np.int32)
+    live_key_ext[: len(pos)] = live_key
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
+                        live_key=live_key_ext)
+
+
+def pallas_tab_window_aux(
+    tab_src_order: np.ndarray, num_blocks: int,
+    L: int = RTE_MAX_LEN, K: int = PK, W: int = PW,
+):
+    """Aux that reduces the TAB grouping directly on SRC-ORDERED data.
+
+    In src order (sorted by ``gidx = block*C + src``) the meta-block is
+    contiguous, so ``tabidx = block*L + Δt`` has a bounded window per
+    tile: ``loc = (block - tile_block)*W + Δt ∈ [0, W + L) ⊂ [0, K + W)``.
+    The standard live-partials kernel then accumulates per-(block, Δt)
+    sums with its usual 2W carry — and the backward never permutes the
+    [E, D] tensors into tab order (the two tab permutes per layer were
+    ~6.6 ms at bench scale, docs/PERF_NOTES.md round-2 second wave).
+
+    Output row ``b*W + Δt`` holds the sum for tab row ``b*L + Δt``;
+    ``ptr2[s] = (s//L)*W + s%L`` lets the plain cumsum-diff combine
+    (:func:`pyhgt_tpu.ops.sorted_hgt.seg_sum_csr`) pick them out.
+
+    Returns None (caller falls back to the permute path) when any tile
+    spans >2 blocks or a block is empty — only possible when per-meta
+    edge blocks are smaller than the K=512 tile (tiny test layouts).
+    """
+    assert W >= L, (W, L)
+    E = tab_src_order.shape[0]
+    assert E % K == 0, f"edge count {E} not a multiple of the {K} tile"
+    tiles = E // K
+    block = (tab_src_order // L).astype(np.int64).reshape(tiles, K)
+    delta = (tab_src_order % L).astype(np.int64).reshape(tiles, K)
+    blk = block[:, 0].astype(np.int32)
+    if (
+        blk[0] != 0
+        or np.any(block.max(axis=1) - blk > 1)
+        or np.any(np.diff(blk) < 0)
+        or np.any(np.diff(blk) > 1)
+    ):
+        return None
+    loc = ((block - blk[:, None]) * W + delta).astype(np.int32)
+    NB = num_blocks
+    tail = np.minimum(blk[-1] + 1 + np.arange(NB - 1), NB - 1)
+    blk_ext = np.concatenate([blk, tail]).astype(np.int32)
+    s = np.arange(num_blocks * L + 1)
+    ptr2 = ((s // L) * W + s % L).astype(np.int32)
     return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2)
 
 

@@ -68,6 +68,81 @@ def test_live_partials_bf16_input():
                                rtol=2e-2, atol=1e-2 * scale)
 
 
+def _ref_segment_softmax(keys, att, num_segments):
+    """f64 per-segment softmax (exact max), masked rows (key==S) -> 0."""
+    a = att.astype(np.float64)
+    out = np.zeros_like(a)
+    for s in range(num_segments):
+        idx = np.flatnonzero(keys == s)
+        if len(idx) == 0:
+            continue
+        z = a[idx]
+        z = np.exp(z - z.max(axis=0, keepdims=True))
+        out[idx] = z / z.sum(axis=0, keepdims=True)
+    return out
+
+
+@pytest.mark.parametrize("E,S,n_pad,hub", [
+    (PK, 40, 7, False),        # single tile
+    (4 * PK, 300, 500, False),  # heavy padding tail
+    (8 * PK, 17, 3, True),     # hub segments spanning many tiles
+])
+def test_segment_softmax_partials_matches_reference(E, S, n_pad, hub):
+    from pyhgt_tpu.ops.pallas_seg import segment_softmax_partials
+    from pyhgt_tpu.ops.sorted_hgt import seg_max_csr
+
+    rng = np.random.default_rng(E + S + n_pad)
+    if hub:
+        # one segment owns half the edges (spans > 2 tiles)
+        keys = np.concatenate([
+            np.zeros((E - n_pad) // 2, np.int64),
+            np.sort(rng.integers(1, S, size=E - n_pad - (E - n_pad) // 2)),
+        ])
+    else:
+        keys = np.sort(rng.integers(0, S, size=E - n_pad))
+    keys = np.concatenate([keys, np.full(n_pad, S)]).astype(np.int64)
+    aux = pallas_seg_aux(keys, S)
+    att = (rng.normal(size=(E, 8)) * 4).astype(np.float32)
+    att[keys == S] = -1e30                      # masked rows, as in ops
+    ref = _ref_segment_softmax(keys, att, S)
+
+    m_rows, s_rows = segment_softmax_partials(jnp.asarray(att), aux)
+    assert np.isfinite(np.asarray(m_rows)).all()
+    assert np.isfinite(np.asarray(s_rows)).all()
+    key = jnp.asarray(aux.live_key)
+    m_n = seg_max_csr(m_rows, key, jnp.asarray(aux.ptr2))
+    scale = jnp.exp(jnp.minimum(m_rows - m_n[jnp.minimum(key, S - 1)], 0.0))
+    den = seg_sum_csr(scale * s_rows, jnp.asarray(aux.ptr2))
+    safe = np.minimum(keys, S - 1)
+    ex = np.exp(
+        np.minimum(np.asarray(att, np.float64)
+                   - np.asarray(m_n, np.float64)[safe], 80.0)
+    ) * (keys < S)[:, None]
+    w = ex / np.maximum(np.asarray(den, np.float64)[safe], 1e-30)
+    np.testing.assert_allclose(w, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_live_partials_pair_matches_singles():
+    from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+
+    rng = np.random.default_rng(7)
+    E, S = 4 * PK, 300
+    keys = np.sort(rng.integers(0, S, size=E - 40))
+    keys = np.concatenate([keys, np.full(40, S)]).astype(np.int64)
+    aux = pallas_seg_aux(keys, S)
+    d1 = rng.normal(size=(E, 256)).astype(np.float32)
+    d2 = rng.normal(size=(E, 256)).astype(np.float32)
+    p1, p2 = live_partials_pair(jnp.asarray(d1), jnp.asarray(d2), aux)
+    r1 = live_partials(jnp.asarray(d1), aux)
+    r2 = live_partials(jnp.asarray(d2), aux)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(r1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(r2),
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="pair shapes"):
+        live_partials_pair(jnp.asarray(d1), jnp.asarray(d2[:, :128]), aux)
+
+
 def test_live_partials_rejects_bad_shape():
     aux = pallas_seg_aux(np.zeros(PK, np.int64), 4)
     with pytest.raises(ValueError, match="aux tiles"):
@@ -134,9 +209,10 @@ def test_sorted_conv_seg_pallas_matches_xla(env):
     (_, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
         P, x, True)
 
-    # Dout=24 < 128: guard keeps everything on XLA; must be bit-comparable
+    # Dout=24 < 128: the width guard keeps everything on XLA
+    scale0 = float(np.max(np.abs(np.asarray(o0)))) + 1e-6
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=1e-6, atol=1e-6 * scale0)
 
     # widen to Dout=192 so the kernel actually runs
     Dout2 = 192
@@ -155,24 +231,28 @@ def test_sorted_conv_seg_pallas_matches_xla(env):
     P2 = {k: jnp.asarray(v) for k, v in P2.items()}
     tgt2 = jnp.asarray(rng.normal(size=(T, C, Dout2)).astype(np.float32))
 
-    def loss2(params, x, seg_pallas):
+    def loss2(params, x, seg_pallas, softmax_pallas=False):
         out = hgt_conv_core_sorted(
             x, se, em, n_heads=H, rte_vec=rte_vec,
-            seg_pallas=seg_pallas, **params,
+            seg_pallas=seg_pallas, softmax_pallas=softmax_pallas, **params,
         )
         return jnp.sum(out * tgt2), out
 
     (_, p0), gp0 = jax.value_and_grad(loss2, argnums=(0, 1), has_aux=True)(
         P2, x, False)
-    (_, p1), gp1 = jax.value_and_grad(loss2, argnums=(0, 1), has_aux=True)(
-        P2, x, True)
-    scale = float(np.max(np.abs(np.asarray(p0)))) + 1e-6
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
-                               rtol=1e-4, atol=1e-4 * scale)
-    for name, a, b in [("x", gp1[1], gp0[1])] + [
-        (k, gp1[0][k], gp0[0][k]) for k in P2
-    ]:
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        s = np.max(np.abs(b)) + 1e-6
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4 * s,
-                                   err_msg=name)
+    for softmax_pallas in (False, True):
+        (_, p1), gp1 = jax.value_and_grad(
+            loss2, argnums=(0, 1), has_aux=True
+        )(P2, x, True, softmax_pallas)
+        scale = float(np.max(np.abs(np.asarray(p0)))) + 1e-6
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-4, atol=1e-4 * scale)
+        for name, a, b in [("x", gp1[1], gp0[1])] + [
+            (k, gp1[0][k], gp0[0][k]) for k in P2
+        ]:
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            s = np.max(np.abs(b)) + 1e-6
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=1e-4 * s,
+                err_msg=f"{name} softmax_pallas={softmax_pallas}",
+            )
