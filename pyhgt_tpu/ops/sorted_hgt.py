@@ -425,15 +425,28 @@ def _edge_bwd(dims, res, g_aggr):
         q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32).reshape(E, H, dk)
         g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
         g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
+        gk_src = _rows(g_k_e, se.perm_src)
+        gv_src = _rows(g_v_e, se.perm_src)
         g_k_rel, g_v_rel = _seg_sum_grouped_pair(
-            _rows(g_k_e, se.perm_src), _rows(g_v_e, se.perm_src),
-            se, "src", seg_pallas,
+            gk_src, gv_src, se, "src", seg_pallas
         )
         if use_rte:
-            g_k_tab, g_v_tab = _seg_sum_grouped_pair(
-                _rows(g_k_e, se.perm_tab), _rows(g_v_e, se.perm_tab),
-                se, "tab", seg_pallas,
-            )
+            ptab = getattr(se, "ptab_src", None)
+            if _pallas_ok(gk_src, ptab, seg_pallas):
+                # tab-window kernel: the RTE-table sums come straight off
+                # the src-ordered tensors (blocks are contiguous there, so
+                # (block, Δt) fits the 2W carry window) — the two [E, D]
+                # tab permutes vanish (sampling/sorted_batch.py aux)
+                from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+
+                l1, l2 = live_partials_pair(gk_src, gv_src, ptab)
+                g_k_tab = seg_sum_csr(l1, ptab.ptr2)
+                g_v_tab = seg_sum_csr(l2, ptab.ptr2)
+            else:
+                g_k_tab, g_v_tab = _seg_sum_grouped_pair(
+                    _rows(g_k_e, se.perm_tab), _rows(g_v_e, se.perm_tab),
+                    se, "tab", seg_pallas,
+                )
         else:
             g_k_tab = jnp.zeros_like(k_tab)
             g_v_tab = jnp.zeros_like(v_tab)

@@ -84,6 +84,10 @@ class SortedEdges:
     pseg_tgt: Optional[PallasSegAux] = None
     pseg_src: Optional[PallasSegAux] = None
     pseg_tab: Optional[PallasSegAux] = None
+    # tab-window aux: reduces the tab grouping on SRC-ordered data (no
+    # [E, D] tab permutes in the backward); None when a tile spans >2
+    # meta-blocks (tiny layouts) — callers fall back to pseg_tab
+    ptab_src: Optional[PallasSegAux] = None
 
 
 REDUCE_TILE = 128
@@ -253,10 +257,17 @@ def sort_edges(
     key = np.where(mask, tgt, N)  # padding sorts last
     perm = np.argsort(key, kind="stable")
     src, tgt, dt, mask, key = src[perm], tgt[perm], dt[perm], mask[perm], key[perm]
+    # masked edges keep their OWN meta-block (last slot) instead of a
+    # global sentinel: src/tab-order block boundaries then equal the
+    # static per-block capacities, making every src-order aux (incl. the
+    # tab-window aux) layout-static — required for dp stacking and for
+    # the tab-window kernel's tile/block alignment. The extra zero-valued
+    # rows land in (b, C-1) / (b, L-1) segments: sums unchanged.
+    blk_e = em.edge_block[perm]
     gidx = (src0 + em.gather_off)[perm]
-    gidx = np.where(mask, gidx, B * C - 1).astype(np.int32)
+    gidx = np.where(mask, gidx, blk_e * C + (C - 1)).astype(np.int32)
     tabidx = (em.edge_block * L + dt0)[perm]
-    tabidx = np.where(mask, tabidx, B * L - 1).astype(np.int32)
+    tabidx = np.where(mask, tabidx, blk_e * L + (L - 1)).astype(np.int32)
     rel = em.edge_rel[perm]
     onehot = np.zeros((E, R), dtype=np.float32)
     onehot[np.arange(E), rel] = mask  # padded rows are all-zero
@@ -282,13 +293,13 @@ def sort_edges(
 
     seg_ptr_tgt = np.searchsorted(key, np.arange(N + 1)).astype(np.int32)
 
-    key_src = np.where(mask, gidx, B * C)
+    key_src = gidx.astype(np.int64)
     perm_src = np.argsort(key_src, kind="stable").astype(np.int32)
     seg_ptr_src = np.searchsorted(key_src[perm_src], np.arange(B * C + 1)).astype(
         np.int32
     )
 
-    key_tab = np.where(mask, tabidx, B * L)
+    key_tab = tabidx.astype(np.int64)
     perm_tab = np.argsort(key_tab, kind="stable").astype(np.int32)
     seg_ptr_tab = np.searchsorted(key_tab[perm_tab], np.arange(B * L + 1)).astype(
         np.int32
@@ -298,11 +309,12 @@ def sort_edges(
     tl_src, li_src, _lk, _ll, sp2_src = _tiled_aux(key_src[perm_src], B * C)
     tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab[perm_tab], B * L)
 
-    pseg_tgt = pseg_src = pseg_tab = None
+    pseg_tgt = pseg_src = pseg_tab = ptab_src = None
     if build_pallas_aux:
         pseg_tgt = pallas_seg_aux(key, N)
         pseg_src = pallas_seg_aux(key_src[perm_src], B * C)
         pseg_tab = pallas_seg_aux(key_tab[perm_tab], B * L)
+        ptab_src = pallas_tab_window_aux(tabidx[perm_src], B, L)
 
     safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
     return SortedEdges(
@@ -334,4 +346,5 @@ def sort_edges(
         pseg_tgt=pseg_tgt,
         pseg_src=pseg_src,
         pseg_tab=pseg_tab,
+        ptab_src=ptab_src,
     )

@@ -143,6 +143,113 @@ def test_live_partials_pair_matches_singles():
         live_partials_pair(jnp.asarray(d1), jnp.asarray(d2[:, :128]), aux)
 
 
+def test_tab_window_aux_matches_reference():
+    """Per-(block, Δt) sums computed on block-contiguous (src-order) data
+    via the window aux == plain np segment sums over tabidx."""
+    from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+    from pyhgt_tpu.sampling.sorted_batch import pallas_tab_window_aux
+
+    rng = np.random.default_rng(11)
+    B, L = 3, 240
+    sizes = [3 * PK + 100, 2 * PK - 100, 3 * PK]
+    tab = np.concatenate([
+        b * L + rng.integers(0, L, size=s) for b, s in enumerate(sizes)
+    ]).astype(np.int64)
+    E = tab.shape[0]
+    aux = pallas_tab_window_aux(tab, B, L)
+    assert aux is not None
+    d1 = rng.normal(size=(E, 256)).astype(np.float32)
+    d2 = rng.normal(size=(E, 256)).astype(np.float32)
+    l1, l2 = live_partials_pair(jnp.asarray(d1), jnp.asarray(d2), aux)
+    o1 = seg_sum_csr(l1, jnp.asarray(aux.ptr2))
+    o2 = seg_sum_csr(l2, jnp.asarray(aux.ptr2))
+    r1 = _ref_seg_sum(tab, d1, B * L)
+    r2 = _ref_seg_sum(tab, d2, B * L)
+    scale = np.max(np.abs(r1)) + 1e-6
+    np.testing.assert_allclose(np.asarray(o1), r1, rtol=1e-4,
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(o2), r2, rtol=1e-4,
+                               atol=1e-4 * scale)
+
+    # fallbacks: interleaved blocks / tiny blocks -> None
+    assert pallas_tab_window_aux(
+        rng.integers(0, B * L, size=E).astype(np.int64), B, L) is None
+    tiny = np.concatenate([
+        b * L + rng.integers(0, L, size=PK // 4) for b in range(4)
+    ] + [3 * L + rng.integers(0, L, size=7 * PK)]).astype(np.int64)
+    assert pallas_tab_window_aux(tiny, 4, L) is None
+
+
+def test_sorted_conv_tab_window_path():
+    """Full conv parity on a layout whose blocks all exceed the kernel
+    tile (node_cap/edge caps >= 512): the tab-window aux must build and
+    the seg_pallas path (now permute-free for the RTE-table grads) must
+    match the XLA path in values and grads."""
+    from pyhgt_tpu.graph.schema import GraphSchema, MetaRelation, PadSpec
+    from pyhgt_tpu.sampling.batch import BatchLayout
+    from pyhgt_tpu.utils.synth import synth_batch
+
+    schema = GraphSchema(
+        node_types=("paper", "author"),
+        metas=(
+            MetaRelation("paper", "author", "AP_write"),
+            MetaRelation("author", "paper", "rev_AP_write"),
+            MetaRelation("paper", "paper", "PP_cite"),
+        ),
+    )
+    layout = BatchLayout(
+        schema=schema, pad=PadSpec(node_cap=512, default_edge_cap=1024)
+    )
+    em = EdgeStaticMeta.from_layout(layout)
+    batch = synth_batch(layout, np.random.default_rng(9), din=16,
+                        node_fill=0.9, edge_fill=0.9)
+    se = sort_batch(batch, layout, em)
+    assert se.ptab_src is not None, "window aux should build at these caps"
+
+    T, C = layout.num_types, layout.node_cap
+    H, Dout = 4, 256
+    dk = Dout // H
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(13)
+    P = {
+        "wq": rng.normal(size=(T, 16, Dout)).astype(np.float32) * 0.3,
+        "bq": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "wk": rng.normal(size=(T, 16, Dout)).astype(np.float32) * 0.3,
+        "bk": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "wv": rng.normal(size=(T, 16, Dout)).astype(np.float32) * 0.3,
+        "bv": rng.normal(size=(T, Dout)).astype(np.float32) * 0.1,
+        "rel_pri": (rng.normal(size=(R, H)) + 1).astype(np.float32),
+        "rel_att": rng.normal(size=(R, H, dk, dk)).astype(np.float32) * 0.3,
+        "rel_msg": rng.normal(size=(R, H, dk, dk)).astype(np.float32) * 0.3,
+    }
+    P = {k: jnp.asarray(v) for k, v in P.items()}
+    rte_vec = jnp.asarray(rte_sin_table(16))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, seg_pallas):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=seg_pallas, **params,
+        )
+        return jnp.sum(out * tgt), out
+
+    (_, p0), gp0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, False)
+    (_, p1), gp1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, True)
+    scale = float(np.max(np.abs(np.asarray(p0)))) + 1e-6
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-4, atol=1e-4 * scale)
+    for name, a, b in [("x", gp1[1], gp0[1])] + [
+        (k, gp1[0][k], gp0[0][k]) for k in P
+    ]:
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        s = np.max(np.abs(b)) + 1e-6
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4 * s,
+                                   err_msg=name)
+
+
 def test_live_partials_rejects_bad_shape():
     aux = pallas_seg_aux(np.zeros(PK, np.int64), 4)
     with pytest.raises(ValueError, match="aux tiles"):

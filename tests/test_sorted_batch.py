@@ -73,19 +73,34 @@ def test_seg_ptr_tgt_is_csr(env):
 
 def test_src_and_tab_permutations(env):
     layout, em, batch, se = env
+    C, L = layout.node_cap, RTE_MAX_LEN
     g = se.gidx[se.perm_src]
     m = se.edge_mask[se.perm_src]
-    assert (np.diff(g[m]) >= 0).all()
-    BC = len(layout.blocks) * layout.node_cap
+    # src order is sorted over ALL edges: masked edges carry their own
+    # block's last (blk, C-1) segment id (layout-static block boundaries;
+    # their data rows are zero so segment sums are unchanged)
+    assert (np.diff(g) >= 0).all() or (
+        np.diff(g.astype(np.int64)) >= 0
+    ).all()
+    BC = len(layout.blocks) * C
     assert se.seg_ptr_src.shape == (BC + 1,)
-    assert se.seg_ptr_src[-1] == se.edge_mask.sum()
+    assert se.seg_ptr_src[-1] == len(se.edge_mask)
+    assert (se.gidx[~se.edge_mask] % C == C - 1).all()
 
     t = se.tabidx[se.perm_tab]
-    mt = se.edge_mask[se.perm_tab]
-    assert (np.diff(t[mt]) >= 0).all()
-    BL = len(layout.blocks) * RTE_MAX_LEN
-    assert se.seg_ptr_tab[-1] == se.edge_mask.sum()
+    assert (np.diff(t.astype(np.int64)) >= 0).all()
+    BL = len(layout.blocks) * L
+    assert se.seg_ptr_tab[-1] == len(se.edge_mask)
     assert se.seg_ptr_tab.shape == (BL + 1,)
+    assert (se.tabidx[~se.edge_mask] % L == L - 1).all()
+
+    # per-block src-order boundaries equal the static per-block edge caps
+    # (the PK-rounding pad rows land in the last block, also statically)
+    blk_of_src_order = se.gidx[se.perm_src] // C
+    caps = np.asarray([b.cap for b in layout.blocks], dtype=np.int64)
+    caps[-1] += len(se.edge_mask) - layout.num_edges
+    counts = np.bincount(blk_of_src_order, minlength=len(layout.blocks))
+    np.testing.assert_array_equal(counts, caps)
 
 
 def test_rel_onehot(env):
