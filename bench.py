@@ -39,7 +39,7 @@ def main() -> None:
                     help="mixed-precision per-edge stage (bf16 values, "
                          "f32 softmax/accumulation)")
     ap.add_argument("--no-edge_bf16", dest="edge_bf16", action="store_false")
-    ap.add_argument("--edge_bwd", choices=["permute", "recompute"],
+    ap.add_argument("--edge_bwd", choices=["permute", "recompute", "src_direct"],
                     default=None, help="sorted-path backward strategy")
     ap.add_argument("--seg_pallas", action="store_true", default=None,
                     help="Pallas segment-sum kernel for the wide [E, D] "

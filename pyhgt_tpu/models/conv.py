@@ -69,7 +69,8 @@ class HGTConv(nn.Module):
     save_kv: bool = False  # sorted path: keep per-edge K/V for the backward
     edge_bf16: bool = False  # sorted path: run the per-edge stage in bf16
     edge_bwd: str = "permute"  # sorted-path backward strategy (see
-                               # ops/sorted_hgt._edge_bwd): permute|recompute
+                               # ops/sorted_hgt._edge_bwd):
+                               # permute|recompute|src_direct
     seg_pallas: bool = False  # sorted path: Pallas segment-sum kernel for
                               # the wide [E, D] reductions (ops/pallas_seg)
     softmax_pallas: bool = False  # sorted path: fused online-softmax kernel
@@ -200,6 +201,7 @@ class HGTConv(nn.Module):
             save_kv = self.save_kv
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
+            src_direct = self.edge_bwd == "src_direct"
             seg_pallas = self.seg_pallas
             softmax_pallas = self.softmax_pallas
 
@@ -210,6 +212,7 @@ class HGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
+                    bwd_src_direct=src_direct,
                     seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
                 )
 
@@ -324,6 +327,7 @@ class DenseHGTConv(nn.Module):
             save_kv = self.save_kv
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
+            src_direct = self.edge_bwd == "src_direct"
             seg_pallas = self.seg_pallas
             softmax_pallas = self.softmax_pallas
 
@@ -334,6 +338,7 @@ class DenseHGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
+                    bwd_src_direct=src_direct,
                     seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
                 )
 

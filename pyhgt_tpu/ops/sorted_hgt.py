@@ -420,13 +420,33 @@ def _edge_bwd(dims, res, g_aggr):
             g_k_tab = jnp.zeros_like(k_tab)
             g_v_tab = jnp.zeros_like(v_tab)
     else:
-        # permute strategy: one product per tensor, fused into the permute;
-        # the paired kernel shares the grid pass + one-hot per grouping
-        q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32).reshape(E, H, dk)
-        g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
-        g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
-        gk_src = _rows(g_k_e, se.perm_src)
-        gv_src = _rows(g_v_e, se.perm_src)
+        src_direct = len(dims) > 7 and dims[7]
+        if src_direct:
+            # hybrid: build g_k/g_v natively in src order — coef/w permute
+            # narrow [E, H], the wide reads are reuse-heavy [N, D]-table
+            # gathers at tgt_src_order. Skips the tgt-order q_e gather AND
+            # both [E, D] src permutes (3 wide passes -> 2). Only pays off
+            # now that the tab grouping also rides the src-ordered tensors
+            # (full recompute of BOTH orders measured slower, see
+            # docs/PERF_NOTES.md).
+            coef_s = _rows(coef, se.perm_src)
+            w_s = _rows(w, se.perm_src)
+            q_s = _rows(q_n.astype(dt), se.tgt_src_order)
+            q_s = q_s.astype(jnp.float32).reshape(E, H, dk)
+            gm_s = _rows(g_aggr_l, se.tgt_src_order)
+            gm_s = gm_s.astype(jnp.float32).reshape(E, H, dk)
+            gk_src = (coef_s[:, :, None] * q_s).reshape(E, D).astype(dt)
+            gv_src = (w_s[:, :, None] * gm_s).reshape(E, D).astype(dt)
+        else:
+            # permute strategy: one product per tensor, fused into the
+            # permute; the paired kernel shares the grid pass + one-hot
+            # per grouping
+            q_e = _rows(q_n, se.edge_tgt).astype(
+                jnp.float32).reshape(E, H, dk)
+            g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
+            g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
+            gk_src = _rows(g_k_e, se.perm_src)
+            gv_src = _rows(g_v_e, se.perm_src)
         g_k_rel, g_v_rel = _seg_sum_grouped_pair(
             gk_src, gv_src, se, "src", seg_pallas
         )
@@ -442,6 +462,20 @@ def _edge_bwd(dims, res, g_aggr):
                 l1, l2 = live_partials_pair(gk_src, gv_src, ptab)
                 g_k_tab = seg_sum_csr(l1, ptab.ptr2)
                 g_v_tab = seg_sum_csr(l2, ptab.ptr2)
+            elif src_direct:
+                # no window aux: rebuild the pair natively in tab order
+                # (same recipe as the src build above)
+                coef_t = _rows(coef, se.perm_tab)
+                w_t = _rows(w, se.perm_tab)
+                q_t = _rows(q_n.astype(dt), se.tgt_tab_order)
+                q_t = q_t.astype(jnp.float32).reshape(E, H, dk)
+                gm_t = _rows(g_aggr_l, se.tgt_tab_order)
+                gm_t = gm_t.astype(jnp.float32).reshape(E, H, dk)
+                g_k_tab, g_v_tab = _seg_sum_grouped_pair(
+                    (coef_t[:, :, None] * q_t).reshape(E, D).astype(dt),
+                    (w_t[:, :, None] * gm_t).reshape(E, D).astype(dt),
+                    se, "tab", seg_pallas,
+                )
             else:
                 g_k_tab, g_v_tab = _seg_sum_grouped_pair(
                     _rows(g_k_e, se.perm_tab), _rows(g_v_e, se.perm_tab),
@@ -484,6 +518,8 @@ def hgt_conv_core_sorted(
     seg_pallas: bool = False,  # route wide segment sums through ops/pallas_seg
     softmax_pallas: bool = False,  # fused online-softmax kernel (see
     # _edge_fwd_impl: standalone win, full-step loss — experimental)
+    bwd_src_direct: bool = False,  # hybrid backward: build the src-grouped
+    # g_k/g_v pair natively in src order (see _edge_bwd)
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
     target-sorted layout — scatter-free forward and backward. ``save_kv``
@@ -541,7 +577,7 @@ def hgt_conv_core_sorted(
     aggr = hgt_edge_stage(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
         (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
-         softmax_pallas), se,
+         softmax_pallas, bwd_src_direct), se,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
 

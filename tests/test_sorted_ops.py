@@ -87,8 +87,8 @@ def test_sorted_matches_reference_path(env, use_rte):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("bwd_recompute", [False, True])
-def test_sorted_gradients_match(env, bwd_recompute):
+@pytest.mark.parametrize("edge_bwd", ["permute", "recompute", "src_direct"])
+def test_sorted_gradients_match(env, edge_bwd):
     layout, em, batch, se = env
     T, C = layout.num_types, layout.node_cap
     Din = Dout = 24
@@ -111,7 +111,8 @@ def test_sorted_gradients_match(env, bwd_recompute):
     def loss_sorted(params, x):
         out = hgt_conv_core_sorted(
             x, se, em, n_heads=H, rte_vec=rte_vec,
-            bwd_recompute=bwd_recompute, **params
+            bwd_recompute=edge_bwd == "recompute",
+            bwd_src_direct=edge_bwd == "src_direct", **params
         )
         return jnp.sum(out * tgt)
 
