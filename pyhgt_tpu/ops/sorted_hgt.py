@@ -227,6 +227,37 @@ def _seg_sum_grouped_pair(d1, d2, se, grouping: str, use_pallas: bool):
     )
 
 
+def _head_mat(H, dk):
+    """[D, H] one-hot map: column h is 1 on head h's dk lanes.
+
+    ``x @ _head_mat`` sums each head's lanes ([E, D] -> [E, H]) and
+    ``w @ _head_mat.T`` broadcasts per-head scalars to lanes
+    ([E, H] -> [E, D]) — both as tiny MXU matmuls that keep the wide
+    tensors in their native [E, D] row-major layout. The straightforward
+    ``x.reshape(E, H, dk).sum(-1)`` / ``w[:, :, None] * v.reshape(...)``
+    made XLA pick an E-minor layout for the 3-D form, inserting two
+    463 MB layout copies per use (16 copies = 22 ms/step at bench scale,
+    traced in docs/PERF_NOTES.md round-2)."""
+    return jnp.repeat(jnp.eye(H, dtype=jnp.float32), dk, axis=0)
+
+
+def _head_sum(x, H, dk):
+    """Per-head lane sums: [E, D] f32 -> [E, H] f32 (exact: HIGHEST
+    precision keeps f32 operand bits through the TPU's bf16 passes)."""
+    return jnp.matmul(
+        x, _head_mat(H, dk), precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _head_expand(w, H, dk):
+    """Per-head scalars to lanes: [E, H] f32 -> [E, D] f32."""
+    return jnp.matmul(
+        w, _head_mat(H, dk).T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 # --------------------------------------------------------------- edge stage
 def _rows(table, idx):
     # indices are host-constructed and in-bounds by contract; skip XLA's
@@ -244,10 +275,8 @@ def _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte):
 
 
 def _attention(q_e, k_e, pri_e, mask, H, dk):
-    E = q_e.shape[0]
-    pre = jnp.sum(
-        (q_e.astype(jnp.float32) * k_e.astype(jnp.float32)).reshape(E, H, dk),
-        axis=-1,
+    pre = _head_sum(
+        q_e.astype(jnp.float32) * k_e.astype(jnp.float32), H, dk
     ) / jnp.sqrt(jnp.float32(dk))
     att = pre * pri_e.astype(jnp.float32)
     att = jnp.where(mask[:, None], att, NEG)
@@ -324,9 +353,7 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     # per-edge messages written in the operand dtype (bf16 when the caller
     # runs the edge stage in bf16) — halves the [E, D] reduce traffic; the
     # tiled reduction still accumulates f32
-    msg = (
-        w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)
-    ).reshape(E, D).astype(dt)
+    msg = (_head_expand(w, H, dk) * v_e.astype(jnp.float32)).astype(dt)
     aggr = _seg_sum_grouped(msg, se, "tgt", seg_pallas)
     return aggr, w, pre, k_e, v_e
 
