@@ -403,9 +403,8 @@ def _edge_bwd(dims, res, g_aggr):
 
     g_aggr_l = g_aggr.astype(dt)                           # [N, D] table
     g_msg = _rows(g_aggr_l, se.edge_tgt)                   # node gather
-    v_eh = v_e.astype(jnp.float32).reshape(E, H, dk)
-    g_msg_h = g_msg.astype(jnp.float32).reshape(E, H, dk)
-    g_w = jnp.sum(g_msg_h * v_eh, axis=-1)                 # [E, H]
+    g_msg_f = g_msg.astype(jnp.float32)
+    g_w = _head_sum(g_msg_f * v_e.astype(jnp.float32), H, dk)  # [E, H]
 
     # softmax backward: g_att = w * (g_w - sum_seg(w * g_w))
     s_n = seg_sum_tiled(w * g_w, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
@@ -415,9 +414,12 @@ def _edge_bwd(dims, res, g_aggr):
     g_pri_e = g_att * pre                                  # [E, H]
     coef = g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
 
-    # tgt-grouped: g_q_n (k_e is already in tgt order)
-    k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
-    g_q_e = (coef[:, :, None] * k_eh).reshape(E, D).astype(dt)
+    # tgt-grouped: g_q_n (k_e is already in tgt order). All per-head
+    # scalar-broadcast products below go through _head_expand to keep
+    # [E, D] row-major (the 3-D reshape form costs a layout copy pair
+    # per use — see _head_mat)
+    coef_l = _head_expand(coef, H, dk)                     # [E, D] f32
+    g_q_e = (coef_l * k_e.astype(jnp.float32)).astype(dt)
     g_q_n = _seg_sum_grouped(g_q_e, se, "tgt", seg_pallas)
 
     if recompute:
@@ -427,13 +429,12 @@ def _edge_bwd(dims, res, g_aggr):
             """g_k (= coef⊙q_tgt) and g_v (= w⊙g_aggr_tgt) segment sums
             over one grouping, recomputed natively in that grouping's
             edge order."""
-            coef_o = _rows(coef, perm)                     # [E, H] cheap
-            w_o = _rows(w, perm)
-            q_o = _rows(q_l, tgt_order).astype(jnp.float32).reshape(E, H, dk)
-            gm_o = _rows(g_aggr_l, tgt_order).astype(
-                jnp.float32).reshape(E, H, dk)
-            g_k = (coef_o[:, :, None] * q_o).reshape(E, D).astype(dt)
-            g_v = (w_o[:, :, None] * gm_o).reshape(E, D).astype(dt)
+            coef_o = _head_expand(_rows(coef, perm), H, dk)  # [E, H] cheap
+            w_o = _head_expand(_rows(w, perm), H, dk)
+            q_o = _rows(q_l, tgt_order).astype(jnp.float32)
+            gm_o = _rows(g_aggr_l, tgt_order).astype(jnp.float32)
+            g_k = (coef_o * q_o).astype(dt)
+            g_v = (w_o * gm_o).astype(dt)
             return _seg_sum_grouped_pair(g_k, g_v, se, grouping, seg_pallas)
 
         g_k_rel, g_v_rel = grads_in_order(
@@ -456,22 +457,19 @@ def _edge_bwd(dims, res, g_aggr):
             # now that the tab grouping also rides the src-ordered tensors
             # (full recompute of BOTH orders measured slower, see
             # docs/PERF_NOTES.md).
-            coef_s = _rows(coef, se.perm_src)
-            w_s = _rows(w, se.perm_src)
-            q_s = _rows(q_n.astype(dt), se.tgt_src_order)
-            q_s = q_s.astype(jnp.float32).reshape(E, H, dk)
-            gm_s = _rows(g_aggr_l, se.tgt_src_order)
-            gm_s = gm_s.astype(jnp.float32).reshape(E, H, dk)
-            gk_src = (coef_s[:, :, None] * q_s).reshape(E, D).astype(dt)
-            gv_src = (w_s[:, :, None] * gm_s).reshape(E, D).astype(dt)
+            coef_s = _head_expand(_rows(coef, se.perm_src), H, dk)
+            w_s = _head_expand(_rows(w, se.perm_src), H, dk)
+            q_s = _rows(q_n.astype(dt), se.tgt_src_order).astype(jnp.float32)
+            gm_s = _rows(g_aggr_l, se.tgt_src_order).astype(jnp.float32)
+            gk_src = (coef_s * q_s).astype(dt)
+            gv_src = (w_s * gm_s).astype(dt)
         else:
             # permute strategy: one product per tensor, fused into the
             # permute; the paired kernel shares the grid pass + one-hot
             # per grouping
-            q_e = _rows(q_n, se.edge_tgt).astype(
-                jnp.float32).reshape(E, H, dk)
-            g_k_e = (coef[:, :, None] * q_e).reshape(E, D).astype(dt)
-            g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D).astype(dt)
+            q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32)
+            g_k_e = (coef_l * q_e).astype(dt)
+            g_v_e = (_head_expand(w, H, dk) * g_msg_f).astype(dt)
             gk_src = _rows(g_k_e, se.perm_src)
             gv_src = _rows(g_v_e, se.perm_src)
         g_k_rel, g_v_rel = _seg_sum_grouped_pair(
@@ -492,15 +490,13 @@ def _edge_bwd(dims, res, g_aggr):
             elif src_direct:
                 # no window aux: rebuild the pair natively in tab order
                 # (same recipe as the src build above)
-                coef_t = _rows(coef, se.perm_tab)
-                w_t = _rows(w, se.perm_tab)
+                coef_t = _head_expand(_rows(coef, se.perm_tab), H, dk)
+                w_t = _head_expand(_rows(w, se.perm_tab), H, dk)
                 q_t = _rows(q_n.astype(dt), se.tgt_tab_order)
-                q_t = q_t.astype(jnp.float32).reshape(E, H, dk)
                 gm_t = _rows(g_aggr_l, se.tgt_tab_order)
-                gm_t = gm_t.astype(jnp.float32).reshape(E, H, dk)
                 g_k_tab, g_v_tab = _seg_sum_grouped_pair(
-                    (coef_t[:, :, None] * q_t).reshape(E, D).astype(dt),
-                    (w_t[:, :, None] * gm_t).reshape(E, D).astype(dt),
+                    (coef_t * q_t.astype(jnp.float32)).astype(dt),
+                    (w_t * gm_t.astype(jnp.float32)).astype(dt),
                     se, "tab", seg_pallas,
                 )
             else:
