@@ -69,6 +69,12 @@ class ExperimentConfig:
     tp: int = 1                        # tensor-parallel (head-axis) shards
                                        # via GSPMD param sharding
                                        # (parallel/mesh rules)
+    gp: int = 1                        # graph-axis (edge-partition) shards:
+                                       # one oversized subgraph's sorted
+                                       # edges split contiguously across
+                                       # devices, boundary stats psum over
+                                       # ICI (parallel/edge_partition — the
+                                       # SP analogue, SURVEY §2.9)
 
     # -- eval -------------------------------------------------------------
     vr_num: int = 8                    # eval_ogbn_mag.py:95

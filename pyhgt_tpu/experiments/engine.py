@@ -123,6 +123,9 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         edge_bwd=cfg.edge_bwd,
         seg_pallas=cfg.seg_pallas,
         softmax_pallas=cfg.softmax_pallas,
+        # gp>1: convs run the edge-partitioned core under shard_map when a
+        # PartitionedEdges block is passed (eval still rides the se path)
+        graph_axis="graph" if cfg.gp > 1 else "",
     )
 
 
@@ -168,12 +171,24 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _make_producer(sample_fn, layout, em):
+def _make_producer(sample_fn, layout, em, gp: int = 1):
+    """``gp > 1``: the item carries :class:`PartitionedEdges` (the graph
+    axis's contiguous per-device edge slices, built on the producer
+    threads) instead of SortedEdges."""
     from pyhgt_tpu.sampling.sorted_batch import sort_batch as _sb
+
+    if gp > 1:
+        from pyhgt_tpu.parallel.edge_partition import partition_sorted
 
     def fn(rng):
         tb = sample_fn(rng)
         se = _sb(tb.sub, layout, em)
+        if gp > 1:
+            se = partition_sorted(
+                se, gp, num_blocks=len(layout.blocks),
+                node_cap=layout.node_cap,
+                num_nodes_flat=layout.num_types * layout.node_cap,
+            )
         return _Item(
             tb, se,
             int(np.asarray(tb.sub.edge_mask).sum()),
@@ -224,10 +239,12 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
     Returns ``(step, loader_kwargs, state, mesh)``; pass loader_kwargs to
     PrefetchLoader so it stacks+shards dp subgraphs per yielded item.
     """
-    dp, tp = max(cfg.dp, 1), max(cfg.tp, 1)
-    if dp == 1 and tp == 1:
+    dp, tp, gp = max(cfg.dp, 1), max(cfg.tp, 1), max(cfg.gp, 1)
+    if dp == 1 and tp == 1 and gp == 1:
         return make_train_step(loss_fn, tx), {}, state, None
+    from jax.sharding import NamedSharding, PartitionSpec
     from pyhgt_tpu.parallel.mesh import (
+        GRAPH_AXIS,
         batch_sharding,
         make_mesh,
         param_shardings,
@@ -235,11 +252,37 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
     )
 
     devices = jax.devices()
-    if dp * tp > len(devices):
+    if dp * tp * gp > len(devices):
         raise ValueError(
-            f"dp={dp} x tp={tp} needs {dp * tp} devices, "
+            f"dp={dp} x tp={tp} x gp={gp} needs {dp * tp * gp} devices, "
             f"have {len(devices)}"
         )
+    if gp > 1:
+        # edge-partitioned step (SP analogue): one oversized subgraph's
+        # edges split over the 'graph' axis; params + node tensors
+        # replicated, boundary stats psum over ICI per layer
+        if dp > 1 or tp > 1:
+            raise ValueError(
+                "gp>1 currently runs alone (dp=tp=1); compose via "
+                "parallel/edge_partition + parallel/spmd directly if needed"
+            )
+        from pyhgt_tpu.parallel.spmd import make_gp_train_step
+
+        mesh = make_mesh(n_data=1, n_model=1, n_graph=gp,
+                         devices=devices[:gp])
+        step = make_gp_train_step(loss_fn, tx, mesh)
+        state = jax.device_put(state, replicate(mesh))
+        # per-item sharding: task batch replicated, PartitionedEdges
+        # leading [P] axis over 'graph' (callable form — _Item's host
+        # scalars live in pytree aux, so a static prefix can't match)
+        rep = replicate(mesh)
+        gsh = NamedSharding(mesh, PartitionSpec(GRAPH_AXIS))
+        loader_kw = dict(device=lambda item: _Item(
+            jax.tree.map(lambda _: rep, item.tb),
+            jax.tree.map(lambda _: gsh, item.se),
+            item.n_edges, item.overflow,
+        ))
+        return step, loader_kw, state, mesh
     mesh = make_mesh(n_data=dp, n_model=tp, devices=devices[: dp * tp])
     loader_kw = {}
     if dp > 1:
@@ -336,10 +379,12 @@ def run_node_classification(
     tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
     state = TrainState.create(params, tx)
 
-    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, se, labels, lmask):
+    _ekw = "pe" if cfg.gp > 1 else "se"
+
+    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, edges, labels, lmask):
         logp = model.apply(
-            params, nf, es, et, dt, emk, nmk, em, se=se,
-            deterministic=False, rngs={"dropout": rng},
+            params, nf, es, et, dt, emk, nmk, em,
+            deterministic=False, rngs={"dropout": rng}, **{_ekw: edges},
         )
         from pyhgt_tpu.train.step import kl_div_loss, nll_loss
 
@@ -381,7 +426,8 @@ def run_node_classification(
         start_epoch = int(state.step) // (cfg.n_batch * cfg.repeat)
         log(f"resumed from {latest_path} at epoch {start_epoch}")
     sample_fn = _make_producer(
-        task.make_sample_fn(train_pairs, splits["train"]), layout, em
+        task.make_sample_fn(train_pairs, splits["train"]), layout, em,
+        gp=cfg.gp,
     )
     history = []
     from pyhgt_tpu.train.log import MetricsLogger
@@ -482,12 +528,14 @@ def run_ogbn(
     tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
     state = TrainState.create(params, tx)
 
-    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, se, labels, lmask):
+    _ekw = "pe" if cfg.gp > 1 else "se"
+
+    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, edges, labels, lmask):
         from pyhgt_tpu.train.step import nll_loss
 
         logp = model.apply(
-            params, nf, es, et, dt, emk, nmk, em, se=se,
-            deterministic=False, rngs={"dropout": rng},
+            params, nf, es, et, dt, emk, nmk, em,
+            deterministic=False, rngs={"dropout": rng}, **{_ekw: edges},
         )
         return nll_loss(logp, labels, mask=lmask)
 
@@ -518,7 +566,8 @@ def run_ogbn(
         os.path.join(cfg.model_dir, f"{cfg.task_name}_metrics.jsonl")
     )
     with PrefetchLoader(
-        _make_producer(task.make_sample_fn("train"), layout, em),
+        _make_producer(task.make_sample_fn("train"), layout, em,
+                       gp=cfg.gp),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,
     ) as loader:
@@ -635,11 +684,13 @@ def run_author_disambiguation(
     tx = make_tx(cfg, params, cfg.n_batch * cfg.repeat)
     state = TrainState.create(params, tx)
 
-    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, se, ci, cm, qm):
+    _ekw = "pe" if cfg.gp > 1 else "se"
+
+    def loss_fn(params, rng, nf, es, et, dt, emk, nmk, edges, ci, cm, qm):
         scores = model.apply(
-            params, nf, es, et, dt, emk, nmk, em, ci, se=se,
+            params, nf, es, et, dt, emk, nmk, em, ci,
             deterministic=False, rngs={"dropout": rng},
-            method=LinkMatcherModel.score_pairs,
+            method=LinkMatcherModel.score_pairs, **{_ekw: edges},
         )
         s = jnp.where(cm, scores, -1e30)
         lse = jax.scipy.special.logsumexp(s, axis=-1)
@@ -684,7 +735,8 @@ def run_author_disambiguation(
     history = []
     with PrefetchLoader(
         _make_producer(
-            task.make_sample_fn(pairs["train"], splits["train"]), layout, em
+            task.make_sample_fn(pairs["train"], splits["train"]), layout, em,
+            gp=cfg.gp,
         ),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,

@@ -39,11 +39,11 @@ class NodeClassifierModel(nn.Module):
 
     def __call__(
         self, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
-        em: EdgeStaticMeta, deterministic: bool = True, se=None,
+        em: EdgeStaticMeta, deterministic: bool = True, se=None, pe=None,
     ):
         h = self.gnn(
             node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-            deterministic=deterministic, se=se,
+            deterministic=deterministic, se=se, pe=pe,
         )
         block = h[self.target_type_id]
         if self.head_mode == "seeds":
@@ -52,11 +52,11 @@ class NodeClassifierModel(nn.Module):
 
     def representations(
         self, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
-        em: EdgeStaticMeta, deterministic: bool = True, se=None,
+        em: EdgeStaticMeta, deterministic: bool = True, se=None, pe=None,
     ):
         return self.gnn(
             node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-            deterministic=deterministic, se=se,
+            deterministic=deterministic, se=se, pe=pe,
         )
 
 
@@ -80,6 +80,7 @@ class LinkMatcherModel(nn.Module):
     def score_pairs(
         self, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
         em: EdgeStaticMeta, cand_idx, deterministic: bool = True, se=None,
+        pe=None,
     ):
         """[P, G] matcher scores: query papers vs per-row candidate nodes.
 
@@ -89,7 +90,7 @@ class LinkMatcherModel(nn.Module):
         """
         h = self.gnn(
             node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-            deterministic=deterministic, se=se,
+            deterministic=deterministic, se=se, pe=pe,
         )
         T, C, D = h.shape
         flat = h.reshape(T * C, D)

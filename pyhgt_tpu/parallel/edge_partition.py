@@ -42,7 +42,7 @@ from pyhgt_tpu.ops.sorted_hgt import (
 )
 from pyhgt_tpu.sampling.sorted_batch import SortedEdges
 
-GRAPH_AXIS = "graph"
+from pyhgt_tpu.parallel.mesh import GRAPH_AXIS  # single source of truth
 
 
 @struct.dataclass

@@ -25,22 +25,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+GRAPH_AXIS = "graph"   # edge-partition axis (parallel/edge_partition.py)
 
 
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_graph: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+    """Build a (data, model, graph) mesh. Defaults: all devices on the
+    data axis. The graph axis carries edge-partition (SP-analogue)
+    shards — contiguous slices of one oversized subgraph's sorted edges."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        n_data = n // n_model
-    if n_data * n_model != n:
-        raise ValueError(f"{n_data}x{n_model} mesh != {n} devices")
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        n_data = n // (n_model * n_graph)
+    if n_data * n_model * n_graph != n:
+        raise ValueError(f"{n_data}x{n_model}x{n_graph} mesh != {n} devices")
+    arr = np.asarray(devices).reshape(n_data, n_model, n_graph)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, GRAPH_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -22,6 +22,67 @@ from pyhgt_tpu.parallel.mesh import DATA_AXIS
 from pyhgt_tpu.train.step import TrainState
 
 
+def make_gp_train_step(
+    loss_single,
+    tx: optax.GradientTransformation,
+    mesh,
+    donate: bool = True,
+):
+    """Edge-partitioned (graph-axis) train step — the SP-analogue scale-out
+    for one OVERSIZED subgraph (SURVEY §2.9/§5: the graph has no sequence
+    axis; its context-parallel equivalent splits each relation's sorted
+    edge array into contiguous per-device slices).
+
+    ``loss_single(params, rng, *args)`` is the single-device loss where
+    exactly one positional arg is a
+    :class:`pyhgt_tpu.parallel.edge_partition.PartitionedEdges` (leading
+    [P] axis, P = graph-axis size); inside shard_map it receives the
+    local slice. Activations are replicated by construction (the
+    partitioned conv psums softmax stats + aggregations per layer over
+    ICI), so the loss is identical on every shard and the dropout rng is
+    shared — NOT folded per shard as the dp step does.
+    """
+    from pyhgt_tpu.parallel.edge_partition import PartitionedEdges
+    from pyhgt_tpu.parallel.mesh import GRAPH_AXIS
+
+    def step(state: TrainState, rng, *batch):
+        pe_idx = [
+            i for i, a in enumerate(batch) if isinstance(a, PartitionedEdges)
+        ]
+        if len(pe_idx) != 1:
+            raise ValueError(
+                f"expected exactly one PartitionedEdges arg, got {len(pe_idx)}"
+            )
+        (pe_idx,) = pe_idx
+        rest = tuple(a for i, a in enumerate(batch) if i != pe_idx)
+        pe = batch[pe_idx]
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(GRAPH_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def sharded_loss(params, rng_, rest_, pe_):
+            local = jax.tree.map(lambda a: a[0], pe_)
+            args = list(rest_)
+            args.insert(pe_idx, local)
+            return loss_single(params, rng_, *args)
+
+        loss, grads = jax.value_and_grad(
+            lambda p: sharded_loss(p, rng, rest, pe)
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_dp_train_step(
     loss_single,
     tx: optax.GradientTransformation,

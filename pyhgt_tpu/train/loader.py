@@ -145,7 +145,10 @@ class PrefetchLoader:
                 )
             else:
                 item = self._get_host_item()
-            dev = jax.device_put(item, self.device)
+            # `device` may be a callable item -> shardings pytree (e.g. the
+            # graph-axis feed shards only the PartitionedEdges leaves)
+            dst = self.device(item) if callable(self.device) else self.device
+            dev = jax.device_put(item, dst)
             for _ in range(self.repeat):
                 if pending is not None:
                     yield pending

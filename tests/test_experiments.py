@@ -92,6 +92,26 @@ def test_run_node_classification_dp(toy_env, tmp_path):
     assert 0.0 <= out["test_ndcg"] <= 1.0
 
 
+def test_run_node_classification_gp(toy_env, tmp_path):
+    """Engine-level edge partitioning (cfg.gp): the graph-axis shard_map
+    step (parallel/spmd.make_gp_train_step) trains end-to-end with
+    PartitionedEdges built on the loader's producer threads — the
+    SP-analogue product wiring (SURVEY §2.9; VERDICT round-1 item 3)."""
+    import jax
+
+    assert len(jax.devices()) >= 2
+    out = run_node_classification(
+        _tiny_cfg(tmp_path, task_name="paper_venue_gp", gp=2),
+        toy_env,
+        label_meta=("venue", "paper", "PV_in"),
+        multi_label=True,
+        log=lambda s: None,
+    )
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["loss"])
+    assert 0.0 <= out["test_ndcg"] <= 1.0
+
+
 def test_run_ogbn_dp_tp(toy_env, tmp_path):
     """dp=2 x tp=2 GSPMD engine path (head-sharded parameter banks)."""
     import jax
