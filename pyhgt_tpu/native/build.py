@@ -13,27 +13,34 @@ from typing import Optional
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 
-_SRC = os.path.join(os.path.dirname(__file__), "hgsampler.cpp")
+_DIR = os.path.dirname(__file__)
+_SRCS = (
+    os.path.join(_DIR, "hgsampler.cpp"),
+    os.path.join(_DIR, "sortbatch.cpp"),
+)
 
 
 def _cache_path() -> str:
-    with open(_SRC, "rb") as f:
-        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
     cache = os.environ.get(
         "PYHGT_TPU_NATIVE_CACHE",
         os.path.join(tempfile.gettempdir(), "pyhgt_tpu_native"),
     )
     os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, f"_hgsampler_{h}.so")
+    return os.path.join(cache, f"_pyhgt_native_{h.hexdigest()[:16]}.so")
 
 
 def build_library(force: bool = False) -> str:
-    """Compile hgsampler.cpp to a shared library (content-hashed cache)."""
+    """Compile the native sources (sampler + batch prep) to one shared
+    library (content-hashed cache)."""
     out = _cache_path()
     if force or not os.path.exists(out):
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-o", out + ".tmp", _SRC,
+            "-o", out + ".tmp", *_SRCS,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(out + ".tmp", out)
@@ -68,6 +75,21 @@ def load_library() -> ctypes.CDLL:
             c.POINTER(c.c_int64),
             c.c_int64, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
             c.POINTER(c.c_int64),
+        ]
+        i32p = c.POINTER(c.c_int32)
+        lib.sb_counting_sort.restype = c.c_int
+        lib.sb_counting_sort.argtypes = [
+            i32p, c.c_int64, c.c_int32, i32p, i32p,
+        ]
+        lib.sb_tiled_aux.restype = c.c_int64
+        lib.sb_tiled_aux.argtypes = [
+            i32p, c.c_int64, c.c_int32, c.c_int32,
+            i32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.sb_pallas_aux.restype = c.c_int64
+        lib.sb_pallas_aux.argtypes = [
+            i32p, c.c_int64, c.c_int32, c.c_int32, c.c_int32, c.c_int64,
+            i32p, i32p, i32p, i32p,
         ]
         _LIB = lib
         return lib

@@ -1,0 +1,144 @@
+// Native host batch-prep core for the target-sorted edge layout.
+//
+// The TPU device program (pyhgt_tpu/ops/sorted_hgt.py) consumes
+// host-precomputed permutations + segment pointers + reduction aux
+// (pyhgt_tpu/sampling/sorted_batch.py documents the layout; the reference
+// has no analogue — PyG scatters on GPU, /root/reference/pyHGT/conv.py:13).
+// The numpy implementation costs ~57 ms/batch at bench scale, dominated by
+// three O(E log E) argsorts and three per-grouping aux passes; every key
+// here is a bounded int (flat node id / bank row / table row), so a stable
+// counting sort + single-pass aux builders bring that to O(E + S).
+//
+// Exported C ABI (ctypes binding in pyhgt_tpu/sampling/native_batch.py):
+//   sb_counting_sort  — stable perm + CSR seg_ptr by bounded int32 key
+//   sb_tiled_aux      — hierarchical tiled-reduction aux (one grouping)
+//   sb_pallas_aux     — Pallas live-partials kernel aux (one grouping)
+// All outputs are caller-allocated numpy buffers; no allocation here.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Stable counting sort of key[0..E) with values in [0, S] (S = padding
+// sentinel). perm[E] receives the stable order; seg_ptr[S+1] receives
+// searchsorted(key_sorted, 0..S) (CSR starts; seg_ptr[S] = first sentinel).
+// Returns 0, or -1 on an out-of-range key.
+int sb_counting_sort(const int32_t* key, int64_t E, int32_t S,
+                     int32_t* perm, int32_t* seg_ptr) {
+    std::vector<int64_t> count((size_t)S + 2, 0);
+    for (int64_t i = 0; i < E; ++i) {
+        int32_t k = key[i];
+        if (k < 0 || k > S) return -1;
+        ++count[(size_t)k + 1];
+    }
+    for (size_t v = 1; v < count.size(); ++v) count[v] += count[v - 1];
+    for (int32_t v = 0; v <= S; ++v) seg_ptr[v] = (int32_t)count[v];
+    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t i = 0; i < E; ++i)
+        perm[cursor[(size_t)key[i]]++] = (int32_t)i;
+    return 0;
+}
+
+// Tiled-reduction aux over one grouping (mirrors sorted_batch._tiled_aux).
+// key_sorted[E] non-decreasing with sentinel S for padding; K divides E.
+// Outputs (M = S + E/K):
+//   tl[E]          local (per-K-tile) segment rank of each edge
+//   live_idx[M]    flat (tile*K + rank) index of each live partial row,
+//                  segment-ordered; dead rows -> E (the extra zero row)
+//   live_key[M]    segment id per live row (sentinel S for dead rows)
+//   live_last[M]   flat index of each live row's last edge; dead -> E
+//   seg_ptr2[S+1]  CSR over live rows per segment
+// Returns the number of live rows, or -1 if it exceeds M.
+int64_t sb_tiled_aux(const int32_t* key_sorted, int64_t E, int32_t S,
+                     int32_t K, int32_t* tl, int32_t* live_idx,
+                     int32_t* live_key, int32_t* live_last,
+                     int32_t* seg_ptr2) {
+    const int64_t tiles = E / K;
+    const int64_t M = (int64_t)S + tiles;
+    int64_t L = 0;
+    for (int64_t t = 0; t < tiles; ++t) {
+        const int64_t base = t * K;
+        int32_t rank = -1;
+        int32_t prev = -1;
+        for (int32_t j = 0; j < K; ++j) {
+            const int32_t k = key_sorted[base + j];
+            if (j == 0 || k != prev) {
+                if (L >= M) return -1;
+                ++rank;
+                live_key[L] = k;
+                live_idx[L] = (int32_t)(base + rank);
+                if (L > 0) live_last[L - 1] = (int32_t)(base + j - 1);
+                ++L;
+                prev = k;
+            }
+            tl[base + j] = rank;
+        }
+    }
+    if (L > 0) live_last[L - 1] = (int32_t)(E - 1);
+    for (int64_t i = L; i < M; ++i) {
+        live_idx[i] = (int32_t)E;       // extra zero row appended on device
+        live_key[i] = S;                // sentinel
+        live_last[i] = (int32_t)E;      // extra NEG row
+    }
+    // seg_ptr2 = searchsorted(live_key[:L], 0..S) — live_key is sorted
+    // because key_sorted is (ranks walk segments in order)
+    int64_t pos = 0;
+    for (int32_t v = 0; v <= S; ++v) {
+        while (pos < L && live_key[pos] < v) ++pos;
+        seg_ptr2[v] = (int32_t)pos;
+    }
+    return L;
+}
+
+// Pallas live-partials kernel aux (mirrors sorted_batch.pallas_seg_aux).
+// key_sorted[E] non-decreasing, sentinel S; K divides E; W >= K; NB is the
+// static output-block count (S + tiles + W - 1)/W + 1 computed host-side.
+// Outputs:
+//   loc[tiles*K]        edge's one-hot column: global live index - blk*W
+//   blk_ext[tiles+NB-1] output block per grid step (+ flush tail)
+//   ptr2[S+1]           CSR over live rows per segment
+//   live_key_ext[NB*W]  segment id per output row (sentinel S when dead)
+// Returns the number of live rows, or -1 if it exceeds NB*W.
+int64_t sb_pallas_aux(const int32_t* key_sorted, int64_t E, int32_t S,
+                      int32_t K, int32_t W, int64_t NB, int32_t* loc,
+                      int32_t* blk_ext, int32_t* ptr2,
+                      int32_t* live_key_ext) {
+    const int64_t tiles = E / K;
+    const int64_t cap = NB * W;
+    for (int64_t i = 0; i < cap; ++i) live_key_ext[i] = S;
+    int64_t live = 0;   // global live-row counter (= live_off running value)
+    for (int64_t t = 0; t < tiles; ++t) {
+        const int64_t base = t * K;
+        const int64_t off = live % W;
+        blk_ext[t] = (int32_t)(live / W);
+        int32_t rank = -1;
+        int32_t prev = -1;
+        for (int32_t j = 0; j < K; ++j) {
+            const int32_t k = key_sorted[base + j];
+            if (j == 0 || k != prev) {
+                ++rank;
+                if (live + rank >= cap) return -1;
+                live_key_ext[live + rank] = k;
+                prev = k;
+            }
+            loc[base + j] = (int32_t)(off + rank);
+        }
+        live += rank + 1;
+    }
+    const int32_t last_blk = tiles ? blk_ext[tiles - 1] : 0;
+    for (int64_t i = 0; i < NB - 1; ++i) {
+        int64_t b = (int64_t)last_blk + 1 + i;
+        blk_ext[tiles + i] = (int32_t)(b < NB - 1 ? b : NB - 1);
+    }
+    // ptr2 over the first `live` rows (their keys are sorted)
+    int64_t pos = 0;
+    for (int32_t v = 0; v <= S; ++v) {
+        while (pos < live && live_key_ext[pos] < v) ++pos;
+        ptr2[v] = (int32_t)pos;
+    }
+    return live;
+}
+
+}  // extern "C"

@@ -1,0 +1,113 @@
+"""ctypes binding: native (C++) batch-prep primitives.
+
+Drop-in replacements for the numpy hot spots in
+:mod:`pyhgt_tpu.sampling.sorted_batch` — the host-side builder of the
+scatter-free device layout (the reference does the equivalent packing in
+``to_torch``, ``/root/reference/pyHGT/data.py:212-256``, but leaves the
+heavy per-edge machinery to PyG's CUDA scatters; here the host prepares
+permutations + CSR pointers + reduction aux instead).
+
+Every key is a bounded int (flat node id / bank row / RTE-table row), so
+the three ``np.argsort`` calls become stable counting sorts (O(E + S),
+bit-identical permutations) and each grouping's tiled + Pallas aux builds
+in one C++ pass. GIL stays held (calls are sub-ms); the loader's worker
+threads already overlap across batches.
+
+All functions raise on native-library build failure — callers gate on
+:func:`native_available` and fall back to the numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _LIB is None:
+        from pyhgt_tpu.native.build import load_library
+
+        _TRIED = True
+        _LIB = load_library()
+    return _LIB
+
+
+def native_available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def counting_sort(key: np.ndarray, num_segments: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stable sort permutation + CSR seg_ptr for int keys in
+    ``[0, num_segments]`` (the top value is the padding sentinel).
+
+    Returns ``(perm [E] int32, seg_ptr [num_segments+1] int32)`` —
+    bit-identical to ``np.argsort(key, kind='stable')`` +
+    ``np.searchsorted(key[perm], np.arange(num_segments+1))``."""
+    lib = _lib()
+    key = np.ascontiguousarray(key, dtype=np.int32)
+    E = key.shape[0]
+    perm = np.empty(E, np.int32)
+    seg_ptr = np.empty(num_segments + 1, np.int32)
+    rc = lib.sb_counting_sort(_i32p(key), E, num_segments, _i32p(perm),
+                              _i32p(seg_ptr))
+    if rc != 0:
+        raise ValueError(f"key out of [0, {num_segments}] range")
+    return perm, seg_ptr
+
+
+def tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int):
+    """Native :func:`pyhgt_tpu.sampling.sorted_batch._tiled_aux`."""
+    lib = _lib()
+    key_sorted = np.ascontiguousarray(key_sorted, dtype=np.int32)
+    E = key_sorted.shape[0]
+    assert E % K == 0, (E, K)
+    M = num_segments + E // K
+    tl = np.empty(E, np.int32)
+    live_idx = np.empty(M, np.int32)
+    live_key = np.empty(M, np.int32)
+    live_last = np.empty(M, np.int32)
+    seg_ptr2 = np.empty(num_segments + 1, np.int32)
+    n = lib.sb_tiled_aux(_i32p(key_sorted), E, num_segments, K, _i32p(tl),
+                         _i32p(live_idx), _i32p(live_key), _i32p(live_last),
+                         _i32p(seg_ptr2))
+    if n < 0:
+        raise ValueError("live rows exceed the static bound")
+    return tl, live_idx, live_key, live_last, seg_ptr2
+
+
+def pallas_aux(key_sorted: np.ndarray, num_segments: int, K: int, W: int):
+    """Native :func:`pyhgt_tpu.sampling.sorted_batch.pallas_seg_aux`."""
+    from pyhgt_tpu.ops.pallas_seg import PallasSegAux
+
+    lib = _lib()
+    key_sorted = np.ascontiguousarray(key_sorted, dtype=np.int32)
+    E = key_sorted.shape[0]
+    assert E % K == 0 and W >= K, (E, K, W)
+    tiles = E // K
+    NB = (num_segments + tiles + W - 1) // W + 1
+    loc = np.empty((tiles, K), np.int32)
+    blk_ext = np.empty(tiles + NB - 1, np.int32)
+    ptr2 = np.empty(num_segments + 1, np.int32)
+    live_key_ext = np.empty(NB * W, np.int32)
+    n = lib.sb_pallas_aux(_i32p(key_sorted), E, num_segments, K, W, NB,
+                          _i32p(loc), _i32p(blk_ext), _i32p(ptr2),
+                          _i32p(live_key_ext))
+    if n < 0:
+        raise ValueError("live rows exceed NB*W")
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
+                        live_key=live_key_ext)
