@@ -85,17 +85,27 @@ def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
     seg_ptr_src = np.zeros((n_parts, G + 1), np.int32)
     perm_tab = np.zeros((n_parts, Ep), np.int32)
     seg_ptr_tab = np.zeros((n_parts, Gt + 1), np.int32)
+    from pyhgt_tpu.sampling.sorted_batch import _native_batch
+
+    nb = _native_batch()  # C++ counting sorts when available (same output)
     for p in range(n_parts):
         m = mask[p]
-        key = np.where(m, edge_tgt[p], N)
-        # slices of a sorted array are sorted; recompute local pointers
-        seg_ptr_tgt[p] = np.searchsorted(key, np.arange(N + 1))
-        key_src = np.where(m, gidx[p], G)
-        perm_src[p] = np.argsort(key_src, kind="stable")
-        seg_ptr_src[p] = np.searchsorted(key_src[perm_src[p]], np.arange(G + 1))
-        key_tab = np.where(m, tabidx[p], Gt)
-        perm_tab[p] = np.argsort(key_tab, kind="stable")
-        seg_ptr_tab[p] = np.searchsorted(key_tab[perm_tab[p]], np.arange(Gt + 1))
+        key = np.where(m, edge_tgt[p], N).astype(np.int32)
+        key_src = np.where(m, gidx[p], G).astype(np.int32)
+        key_tab = np.where(m, tabidx[p], Gt).astype(np.int32)
+        if nb is not None:
+            _, seg_ptr_tgt[p] = nb.counting_sort(key, N)
+            perm_src[p], seg_ptr_src[p] = nb.counting_sort(key_src, G)
+            perm_tab[p], seg_ptr_tab[p] = nb.counting_sort(key_tab, Gt)
+        else:
+            # slices of a sorted array are sorted; recompute local pointers
+            seg_ptr_tgt[p] = np.searchsorted(key, np.arange(N + 1))
+            perm_src[p] = np.argsort(key_src, kind="stable")
+            seg_ptr_src[p] = np.searchsorted(
+                key_src[perm_src[p]], np.arange(G + 1))
+            perm_tab[p] = np.argsort(key_tab, kind="stable")
+            seg_ptr_tab[p] = np.searchsorted(
+                key_tab[perm_tab[p]], np.arange(Gt + 1))
 
     return PartitionedEdges(
         edge_tgt=edge_tgt.astype(np.int32),
