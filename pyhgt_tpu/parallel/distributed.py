@@ -3,8 +3,9 @@
 The reference has no multi-host story (SURVEY.md §2.9). For N-host TPU
 slices, JAX needs one ``jax.distributed.initialize`` per process; this
 wrapper reads the standard env (auto-detected on TPU pods) and exposes
-the process-local device split. Tested logic-only (single process) —
-multi-host integration requires a real slice.
+the process-local device split. Integration-tested with a real
+2-process CPU cluster (cross-process psum) in
+tests/test_tasks.py::test_distributed_two_process_psum.
 """
 
 from __future__ import annotations
@@ -15,6 +16,18 @@ from typing import Optional
 import jax
 
 
+def _already_initialized() -> bool:
+    # must NOT touch jax.process_count() here: that initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run —
+    # the exact failure mode this wrapper exists to prevent
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -22,8 +35,9 @@ def initialize(
 ) -> dict:
     """Initialize jax.distributed if a multi-process env is configured.
 
-    Returns a summary dict (process_index, process_count, local/global
-    device counts). On a single host this is a no-op.
+    MUST run before any other JAX call in the process (device queries
+    included). Returns a summary dict (process_index, process_count,
+    local/global device counts). On a single host this is a no-op.
     """
     want_init = (
         coordinator_address
@@ -31,7 +45,7 @@ def initialize(
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
     )
-    if want_init and jax.process_count() == 1:
+    if want_init and not _already_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -1,5 +1,7 @@
 """Task-layer tests: pair building, leakage masks, losses, end-to-end train."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -259,6 +261,63 @@ def test_distributed_initialize_single_host():
     info = initialize()
     assert info["process_count"] == 1
     assert info["global_devices"] >= 1
+
+
+_DIST_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, sys.argv[4])
+from pyhgt_tpu.parallel.distributed import initialize
+info = initialize(coordinator_address=f"localhost:{port}",
+                  num_processes=n, process_id=pid)
+assert info["process_count"] == n, info
+assert info["global_devices"] == n, info
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+mesh = Mesh(np.asarray(jax.devices()), ("data",))
+f = shard_map(lambda x: jax.lax.psum(x, "data"), mesh=mesh,
+              in_specs=P("data"), out_specs=P(), check_vma=False)
+arr = jax.make_array_from_single_device_arrays(
+    (n, 4), NamedSharding(mesh, P("data")),
+    [jax.device_put(np.full((1, 4), float(pid + 1), np.float32),
+                    jax.local_devices()[0])])
+got = float(np.asarray(jax.device_get(f(arr)))[0, 0])
+assert got == sum(range(1, n + 1)), got
+print("ok", pid)
+"""
+
+
+def test_distributed_two_process_psum(tmp_path):
+    """Real multi-process bootstrap: 2 CPU processes form a jax.distributed
+    cluster (Gloo) and a cross-process psum returns the global sum on both
+    — the multi-host story the reference lacks (SURVEY §2.9), integration-
+    tested without a TPU slice (SURVEY §4 test plan item 4)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:       # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(_DIST_WORKER)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), root],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out, out
 
 
 def test_link_model_with_matcher_index(task_env):
