@@ -260,28 +260,33 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
     if gp > 1:
         # edge-partitioned step (SP analogue): one oversized subgraph's
         # edges split over the 'graph' axis; params + node tensors
-        # replicated, boundary stats psum over ICI per layer
-        if dp > 1 or tp > 1:
-            raise ValueError(
-                "gp>1 currently runs alone (dp=tp=1); compose via "
-                "parallel/edge_partition + parallel/spmd directly if needed"
-            )
+        # replicated along it, boundary stats psum over ICI per layer.
+        # Composes with dp (batch leading axis over 'data'); tp is not
+        # wired with gp.
+        if tp > 1:
+            raise ValueError("gp>1 does not compose with tp>1")
         from pyhgt_tpu.parallel.spmd import make_gp_train_step
+        from pyhgt_tpu.parallel.mesh import DATA_AXIS
 
-        mesh = make_mesh(n_data=1, n_model=1, n_graph=gp,
-                         devices=devices[:gp])
-        step = make_gp_train_step(loss_fn, tx, mesh)
+        mesh = make_mesh(n_data=dp, n_model=1, n_graph=gp,
+                         devices=devices[: dp * gp])
+        step = make_gp_train_step(loss_fn, tx, mesh, dp=dp)
         state = jax.device_put(state, replicate(mesh))
-        # per-item sharding: task batch replicated, PartitionedEdges
-        # leading [P] axis over 'graph' (callable form — _Item's host
-        # scalars live in pytree aux, so a static prefix can't match)
-        rep = replicate(mesh)
-        gsh = NamedSharding(mesh, PartitionSpec(GRAPH_AXIS))
+        # per-item sharding: task batch replicated (dp=1) or data-sharded
+        # (dp>1); PartitionedEdges leaves over ('data'?, 'graph').
+        # Callable form — _Item's host scalars live in pytree aux, so a
+        # static prefix pytree can't match.
+        tb_sh = (NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+                 if dp > 1 else replicate(mesh))
+        pe_axes = ((DATA_AXIS, GRAPH_AXIS) if dp > 1 else (GRAPH_AXIS,))
+        gsh = NamedSharding(mesh, PartitionSpec(*pe_axes))
         loader_kw = dict(device=lambda item: _Item(
-            jax.tree.map(lambda _: rep, item.tb),
+            jax.tree.map(lambda _: tb_sh, item.tb),
             jax.tree.map(lambda _: gsh, item.se),
             item.n_edges, item.overflow,
         ))
+        if dp > 1:
+            loader_kw.update(stack=dp, collate=_stack_items)
         return step, loader_kw, state, mesh
     mesh = make_mesh(n_data=dp, n_model=tp, devices=devices[: dp * tp])
     loader_kw = {}

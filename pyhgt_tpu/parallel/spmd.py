@@ -26,6 +26,7 @@ def make_gp_train_step(
     loss_single,
     tx: optax.GradientTransformation,
     mesh,
+    dp: int = 1,
     donate: bool = True,
 ):
     """Edge-partitioned (graph-axis) train step — the SP-analogue scale-out
@@ -37,13 +38,21 @@ def make_gp_train_step(
     exactly one positional arg is a
     :class:`pyhgt_tpu.parallel.edge_partition.PartitionedEdges` (leading
     [P] axis, P = graph-axis size); inside shard_map it receives the
-    local slice. Activations are replicated by construction (the
-    partitioned conv psums softmax stats + aggregations per layer over
-    ICI), so the loss is identical on every shard and the dropout rng is
-    shared — NOT folded per shard as the dp step does.
+    local slice. Activations are replicated along 'graph' by construction
+    (the partitioned conv psums softmax stats + aggregations per layer
+    over ICI), so the loss is identical on every graph shard and the
+    dropout rng is shared along it — NOT folded as along 'data'.
+
+    ``dp > 1`` composes with data parallelism on the same mesh: the
+    non-edge batch args carry a leading [dp] axis (sharded over 'data'),
+    the PartitionedEdges leaves carry [dp, P, ...] (sharded over
+    ('data', 'graph')), losses pmean over 'data'.
     """
     from pyhgt_tpu.parallel.edge_partition import PartitionedEdges
     from pyhgt_tpu.parallel.mesh import GRAPH_AXIS
+
+    rest_spec = P(DATA_AXIS) if dp > 1 else P()
+    pe_spec = P(DATA_AXIS, GRAPH_AXIS) if dp > 1 else P(GRAPH_AXIS)
 
     def step(state: TrainState, rng, *batch):
         pe_idx = [
@@ -60,15 +69,23 @@ def make_gp_train_step(
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(GRAPH_AXIS)),
+            in_specs=(P(), P(), rest_spec, pe_spec),
             out_specs=P(),
             check_vma=False,
         )
         def sharded_loss(params, rng_, rest_, pe_):
-            local = jax.tree.map(lambda a: a[0], pe_)
+            if dp > 1:
+                rest_ = jax.tree.map(lambda a: a[0], rest_)
+                local = jax.tree.map(lambda a: a[0, 0], pe_)
+                rng_ = jax.random.fold_in(
+                    rng_, jax.lax.axis_index(DATA_AXIS)
+                )
+            else:
+                local = jax.tree.map(lambda a: a[0], pe_)
             args = list(rest_)
             args.insert(pe_idx, local)
-            return loss_single(params, rng_, *args)
+            loss = loss_single(params, rng_, *args)
+            return jax.lax.pmean(loss, DATA_AXIS) if dp > 1 else loss
 
         loss, grads = jax.value_and_grad(
             lambda p: sharded_loss(p, rng, rest, pe)

@@ -112,6 +112,23 @@ def test_run_node_classification_gp(toy_env, tmp_path):
     assert 0.0 <= out["test_ndcg"] <= 1.0
 
 
+def test_run_node_classification_dp_gp(toy_env, tmp_path):
+    """dp=2 × gp=2 composition on one (data, graph) mesh: stacked items
+    over 'data', each subgraph's edges partitioned over 'graph'."""
+    import jax
+
+    assert len(jax.devices()) >= 4
+    out = run_node_classification(
+        _tiny_cfg(tmp_path, task_name="paper_venue_dp_gp", dp=2, gp=2,
+                  n_epoch=1),
+        toy_env,
+        label_meta=("venue", "paper", "PV_in"),
+        multi_label=True,
+        log=lambda s: None,
+    )
+    assert np.isfinite(out["history"][-1]["loss"])
+
+
 def test_run_ogbn_dp_tp(toy_env, tmp_path):
     """dp=2 x tp=2 GSPMD engine path (head-sharded parameter banks)."""
     import jax
