@@ -91,5 +91,14 @@ def load_library() -> ctypes.CDLL:
             i32p, c.c_int64, c.c_int32, c.c_int32, c.c_int32, c.c_int64,
             i32p, i32p, i32p, i32p,
         ]
+        u8p = c.POINTER(c.c_uint8)
+        lib.sb_permute_build.restype = c.c_int
+        lib.sb_permute_build.argtypes = [
+            i32p, i32p, i32p, u8p, i32p, i32p, i32p, i32p,
+            c.c_int64, c.c_int64, c.c_int32, c.c_int32, c.c_int32,
+            c.c_int32, c.c_int32,
+            i32p, i32p, i32p, u8p, i32p, i32p, i32p,
+            c.POINTER(c.c_float),
+        ]
         _LIB = lib
         return lib

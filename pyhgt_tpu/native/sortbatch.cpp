@@ -141,4 +141,49 @@ int64_t sb_pallas_aux(const int32_t* key_sorted, int64_t E, int32_t S,
     return live;
 }
 
+// Fused permute + index build + pad for the target-sorted edge view
+// (replaces the numpy body of sorted_batch.sort_edges between the target
+// counting sort and the per-grouping aux: 8 fancy-index gathers, masked
+// index arithmetic, the [E, R] one-hot fill, and the PK padding tail).
+// Inputs are the RAW (unsorted, unpadded, length E0) edge arrays plus the
+// stable target-order permutation; outputs are padded to E (>= E0).
+//   tgt_safe: target ids with padded/masked rows clamped to N-1
+//   key:      sort key (target id, sentinel N for masked/padded rows)
+//   gidx:     row into the [B*C] relation-transformed banks (masked rows
+//             keep their block's last slot — layout-static boundaries)
+//   tabidx:   row into the [B*L] RTE tables (same masking convention)
+//   onehot:   [E, R] f32 relation membership (masked/padded rows zero)
+int sb_permute_build(
+    const int32_t* src0, const int32_t* tgt0, const int32_t* dt0,
+    const uint8_t* mask0, const int32_t* perm, const int32_t* edge_block,
+    const int32_t* gather_off, const int32_t* edge_rel,
+    int64_t E0, int64_t E, int32_t C, int32_t L, int32_t R, int32_t N,
+    int32_t B, int32_t* src, int32_t* tgt_safe, int32_t* dt, uint8_t* mask,
+    int32_t* key, int32_t* gidx, int32_t* tabidx, float* onehot) {
+    std::memset(onehot, 0, (size_t)E * R * sizeof(float));
+    for (int64_t i = 0; i < E0; ++i) {
+        const int32_t p = perm[i];
+        const bool m = mask0[p] != 0;
+        const int32_t blk = edge_block[p];
+        src[i] = src0[p];
+        tgt_safe[i] = m ? tgt0[p] : N - 1;
+        dt[i] = dt0[p];
+        mask[i] = m ? 1 : 0;
+        key[i] = m ? tgt0[p] : N;
+        gidx[i] = m ? src0[p] + gather_off[p] : blk * C + (C - 1);
+        tabidx[i] = m ? blk * L + dt0[p] : blk * L + (L - 1);
+        if (m) onehot[i * R + edge_rel[p]] = 1.0f;
+    }
+    for (int64_t i = E0; i < E; ++i) {
+        src[i] = 0;
+        tgt_safe[i] = N - 1;
+        dt[i] = 0;
+        mask[i] = 0;
+        key[i] = N;
+        gidx[i] = B * C - 1;
+        tabidx[i] = B * L - 1;
+    }
+    return 0;
+}
+
 }  // extern "C"

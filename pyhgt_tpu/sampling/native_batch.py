@@ -70,6 +70,43 @@ def counting_sort(key: np.ndarray, num_segments: int
     return perm, seg_ptr
 
 
+def permute_build(src0, tgt0, dt0, mask0, perm, edge_block, gather_off,
+                  edge_rel, E_padded: int, *, C: int, L: int, R: int,
+                  N: int, B: int):
+    """Fused permute + gidx/tabidx/onehot build + PK padding — the numpy
+    body of ``sort_edges`` between the target sort and the aux builds,
+    in one C++ pass. Returns
+    ``(src, tgt_safe, dt, mask, key, gidx, tabidx, onehot)``, all padded
+    to ``E_padded``."""
+    lib = _lib()
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    src0, tgt0, dt0 = i32(src0), i32(tgt0), i32(dt0)
+    perm = i32(perm)
+    edge_block, gather_off, edge_rel = (
+        i32(edge_block), i32(gather_off), i32(edge_rel))
+    mask0 = np.ascontiguousarray(mask0, dtype=np.uint8)
+    E0 = src0.shape[0]
+    E = E_padded
+    src = np.empty(E, np.int32)
+    tgt_safe = np.empty(E, np.int32)
+    dt = np.empty(E, np.int32)
+    mask = np.empty(E, np.uint8)
+    key = np.empty(E, np.int32)
+    gidx = np.empty(E, np.int32)
+    tabidx = np.empty(E, np.int32)
+    onehot = np.empty((E, R), np.float32)
+    u8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.sb_permute_build(
+        _i32p(src0), _i32p(tgt0), _i32p(dt0), u8(mask0), _i32p(perm),
+        _i32p(edge_block), _i32p(gather_off), _i32p(edge_rel),
+        E0, E, C, L, R, N, B,
+        _i32p(src), _i32p(tgt_safe), _i32p(dt), u8(mask), _i32p(key),
+        _i32p(gidx), _i32p(tabidx),
+        onehot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return (src, tgt_safe, dt, mask.view(bool), key, gidx, tabidx, onehot)
+
+
 def tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int):
     """Native :func:`pyhgt_tpu.sampling.sorted_batch._tiled_aux`."""
     lib = _lib()

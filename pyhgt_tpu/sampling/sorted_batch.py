@@ -284,55 +284,64 @@ def sort_edges(
     mask = np.asarray(edge_mask)
 
     key = np.where(mask, tgt, N).astype(np.int32)  # padding sorts last
+    # (the masked-edge indexing convention below: masked edges keep their
+    # OWN meta-block's last slot instead of a global sentinel, so
+    # src/tab-order block boundaries equal the static per-block
+    # capacities, making every src-order aux — incl. the tab-window aux —
+    # layout-static; required for dp stacking and the tab-window kernel's
+    # tile/block alignment. The extra zero-valued rows land in (b, C-1) /
+    # (b, L-1) segments: sums unchanged.)
     if nb is not None:
-        perm, seg_ptr_tgt0 = nb.counting_sort(key, N)
-    else:
-        perm = np.argsort(key, kind="stable")
-        seg_ptr_tgt0 = None
-    src, tgt, dt, mask, key = src[perm], tgt[perm], dt[perm], mask[perm], key[perm]
-    # masked edges keep their OWN meta-block (last slot) instead of a
-    # global sentinel: src/tab-order block boundaries then equal the
-    # static per-block capacities, making every src-order aux (incl. the
-    # tab-window aux) layout-static — required for dp stacking and for
-    # the tab-window kernel's tile/block alignment. The extra zero-valued
-    # rows land in (b, C-1) / (b, L-1) segments: sums unchanged.
-    blk_e = em.edge_block[perm]
-    gidx = (src0 + em.gather_off)[perm]
-    gidx = np.where(mask, gidx, blk_e * C + (C - 1)).astype(np.int32)
-    tabidx = (em.edge_block * L + dt0)[perm]
-    tabidx = np.where(mask, tabidx, blk_e * L + (L - 1)).astype(np.int32)
-    rel = em.edge_rel[perm]
-    onehot = np.zeros((E, R), dtype=np.float32)
-    onehot[np.arange(E), rel] = mask  # padded rows are all-zero
-
-    # pad the flat edge axis to the larger (Pallas) reduction tile (extra
-    # edges are masked and sort last, so every downstream pointer stays
-    # correct; PK is a multiple of REDUCE_TILE)
-    padn = (-E) % PK
-    if padn:
-        src = np.concatenate([src, np.zeros(padn, src.dtype)])
-        tgt = np.concatenate([tgt, np.zeros(padn, tgt.dtype)])
-        dt = np.concatenate([dt, np.zeros(padn, dt.dtype)])
-        mask = np.concatenate([mask, np.zeros(padn, bool)])
-        key = np.concatenate([key, np.full(padn, N, key.dtype)])
-        gidx = np.concatenate(
-            [gidx, np.full(padn, B * C - 1, gidx.dtype)]
+        # one C++ pass: target counting sort, then fused permute + masked
+        # gidx/tabidx + [E, R] one-hot + PK padding. seg_ptr from the
+        # unpadded sort is identical: padded edges all carry sentinel N
+        # and sort last.
+        perm, seg_ptr_tgt = nb.counting_sort(key, N)
+        padn = (-E) % PK
+        (src, safe_tgt_n, dt, mask, key, gidx, tabidx, onehot
+         ) = nb.permute_build(
+            src0, tgt, dt0, mask, perm, em.edge_block, em.gather_off,
+            em.edge_rel, E + padn, C=C, L=L, R=R, N=N, B=B,
         )
-        tabidx = np.concatenate(
-            [tabidx, np.full(padn, B * L - 1, tabidx.dtype)]
-        )
-        onehot = np.concatenate([onehot, np.zeros((padn, R), np.float32)])
         E = E + padn
-
-    if nb is not None:
-        # seg_ptr from the unpadded counting sort is identical: padded
-        # edges all carry the sentinel N and sort last
-        seg_ptr_tgt = seg_ptr_tgt0
         perm_src, seg_ptr_src = nb.counting_sort(gidx, B * C)
         key_src_sorted = gidx[perm_src].astype(np.int64)
         perm_tab, seg_ptr_tab = nb.counting_sort(tabidx, B * L)
         key_tab_sorted = tabidx[perm_tab].astype(np.int64)
     else:
+        safe_tgt_n = None
+        perm = np.argsort(key, kind="stable")
+        src, tgt, dt, mask, key = (
+            src[perm], tgt[perm], dt[perm], mask[perm], key[perm])
+        blk_e = em.edge_block[perm]
+        gidx = (src0 + em.gather_off)[perm]
+        gidx = np.where(mask, gidx, blk_e * C + (C - 1)).astype(np.int32)
+        tabidx = (em.edge_block * L + dt0)[perm]
+        tabidx = np.where(mask, tabidx, blk_e * L + (L - 1)).astype(np.int32)
+        rel = em.edge_rel[perm]
+        onehot = np.zeros((E, R), dtype=np.float32)
+        onehot[np.arange(E), rel] = mask  # padded rows are all-zero
+
+        # pad the flat edge axis to the larger (Pallas) reduction tile
+        # (extra edges are masked and sort last, so every downstream
+        # pointer stays correct; PK is a multiple of REDUCE_TILE)
+        padn = (-E) % PK
+        if padn:
+            src = np.concatenate([src, np.zeros(padn, src.dtype)])
+            tgt = np.concatenate([tgt, np.zeros(padn, tgt.dtype)])
+            dt = np.concatenate([dt, np.zeros(padn, dt.dtype)])
+            mask = np.concatenate([mask, np.zeros(padn, bool)])
+            key = np.concatenate([key, np.full(padn, N, key.dtype)])
+            gidx = np.concatenate(
+                [gidx, np.full(padn, B * C - 1, gidx.dtype)]
+            )
+            tabidx = np.concatenate(
+                [tabidx, np.full(padn, B * L - 1, tabidx.dtype)]
+            )
+            onehot = np.concatenate([onehot, np.zeros((padn, R), np.float32)])
+            E = E + padn
+
+    if nb is None:
         seg_ptr_tgt = np.searchsorted(key, np.arange(N + 1)).astype(np.int32)
         key_src = gidx.astype(np.int64)
         perm_src = np.argsort(key_src, kind="stable").astype(np.int32)
@@ -371,7 +380,10 @@ def sort_edges(
             pseg_tab = pallas_seg_aux(key_tab_sorted.astype(np.int64), B * L)
         ptab_src = pallas_tab_window_aux(tabidx[perm_src], B, L)
 
-    safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
+    if safe_tgt_n is not None:
+        safe_tgt = safe_tgt_n
+    else:
+        safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
     return SortedEdges(
         edge_src=src.astype(np.int32),
         edge_tgt=safe_tgt,
