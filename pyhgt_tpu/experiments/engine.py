@@ -797,44 +797,13 @@ def evaluate_ogbn(
 ) -> Dict:
     """Standalone checkpoint evaluation — the reference's separate
     ``eval_ogbn_mag.py`` entry point (``:107-191``): rebuild the model,
-    restore the best checkpoint, run VR or sequential eval."""
-    from pyhgt_tpu.train.checkpoint import load_checkpoint
+    restore the best checkpoint, run VR or sequential eval. Built on the
+    warm serving predictor (experiments/serving.py)."""
+    from pyhgt_tpu.experiments.serving import OgbnPredictor
 
-    sampler = make_sampler(cfg, graph, log=log)
-    layout = make_layout(cfg, graph)
-    em = EdgeStaticMeta.from_layout(layout)
-    task = OgbnNodeTask(
-        graph=graph, sampler=sampler, layout=layout, batch_size=cfg.batch_size
-    )
-    rng0 = np.random.default_rng(cfg.seed)
-    tb0 = task.sample(np.arange(min(cfg.batch_size, 4)), rng0)
-    model = NodeClassifierModel(
-        gnn_kwargs=gnn_kwargs(cfg, layout, _infer_in_dim(tb0)),
-        n_classes=task.n_classes,
-        target_type_id=layout.schema.type_id(task.target_type),
-        head_mode="full",
-    )
-    se0 = sort_batch(tb0.sub, layout, em)
-    params = model.init(jax.random.key(cfg.seed), *tb0.batch_args, em, se=se0)
-    tx = make_tx(cfg, params, 1)
-    template = TrainState.create(params, tx)
-    state = load_checkpoint(ckpt_path, template)
-
-    fwd = jax.jit(
-        lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
-            p, nf, es, et, dt, emk, nmk, em, se=se
-        )
-    )
-
-    def eval_forward(p, *bargs):
-        from pyhgt_tpu.sampling.sorted_batch import sort_edges
-
-        nf, es, et, dt, emk, nmk = bargs
-        se = sort_edges(es, et, dt, emk, layout, em)
-        return fwd(p, *bargs, se)
-
+    pred = OgbnPredictor(cfg, graph, ckpt_path, log=log)
     out = multi_sample_eval(
-        eval_forward, state.params, task, split="test",
+        pred.eval_forward, pred.params, pred.task, split="test",
         batch_size=cfg.batch_size,
         vr_num=cfg.vr_num if eval_mode == "variance_reduce" else 1,
         rng=np.random.default_rng(cfg.seed + 3),

@@ -17,10 +17,10 @@ from pyhgt_tpu.config import PRESETS, ExperimentConfig
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pyhgt_tpu.run", description=__doc__)
     p.add_argument(
-        "task", choices=list(PRESETS.keys()) + ["eval_ogbn_mag"],
+        "task", choices=list(PRESETS.keys()) + ["eval_ogbn_mag", "serve"],
     )
     p.add_argument("--ckpt", default=None,
-                   help="checkpoint dir (eval_ogbn_mag)")
+                   help="checkpoint dir (eval_ogbn_mag / serve)")
     p.add_argument("--eval_mode", default="variance_reduce",
                    choices=["variance_reduce", "sequential"])
     p.add_argument("--features", default="oag", choices=["oag", "mag"],
@@ -71,7 +71,9 @@ def load_graph(path: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    cfg = PRESETS["ogbn_mag" if args.task == "eval_ogbn_mag" else args.task]
+    cfg = PRESETS[
+        "ogbn_mag" if args.task in ("eval_ogbn_mag", "serve") else args.task
+    ]
     overrides = {
         k: v for k, v in vars(args).items()
         if k not in ("task",) and v is not None
@@ -119,6 +121,12 @@ def main(argv=None) -> int:
         if not args.ckpt:
             raise SystemExit("--ckpt required for eval_ogbn_mag")
         evaluate_ogbn(cfg, graph, args.ckpt, eval_mode=args.eval_mode)
+    elif args.task == "serve":
+        from pyhgt_tpu.experiments.serving import OgbnPredictor, serve_jsonl
+
+        if not args.ckpt:
+            raise SystemExit("--ckpt required for serve")
+        serve_jsonl(OgbnPredictor(cfg, graph, args.ckpt))
     return 0
 
 

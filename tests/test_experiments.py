@@ -73,6 +73,56 @@ def test_run_author_disambiguation(toy_env, tmp_path):
     assert 0.0 <= out["test_ndcg"] <= 1.0
 
 
+def test_serving_predictor_and_jsonl(toy_env, tmp_path):
+    """Serving surface: train -> checkpoint -> warm OgbnPredictor ->
+    predict() (VR-accumulated, deterministic per rng seed) -> JSON-lines
+    loop (beyond-reference: the reference stops at offline eval)."""
+    import io
+    import json
+    import os
+
+    from pyhgt_tpu.experiments.serving import OgbnPredictor, serve_jsonl
+
+    rng = np.random.default_rng(0)
+    n = toy_env.num_nodes["paper"]
+    toy_env.aux.update(
+        y=rng.integers(0, 4, n), years=np.full(n, 2015),
+        train_mask=rng.random(n) < 0.5,
+        valid_mask=(rng.random(n) < 0.3),
+        test_mask=(rng.random(n) < 0.3),
+    )
+    cfg = _tiny_cfg(tmp_path, task_name="ogbn_serve", n_epoch=1, vr_num=2)
+    run_ogbn(cfg, toy_env, log=lambda s: None, max_eval_nodes=8)
+    ckpt = os.path.join(cfg.model_dir, "ogbn_serve_hgt")
+    pred = OgbnPredictor(cfg, toy_env, ckpt, log=lambda s: None)
+
+    nodes = [3, 17, 42]
+    lp = pred.predict_logprobs(nodes, rng=np.random.default_rng(5))
+    assert lp.shape == (3, pred.n_classes)
+    assert np.isfinite(lp).all() and (lp <= 0).all()  # accumulated log-probs
+    labels = pred.predict(nodes, rng=np.random.default_rng(5))
+    np.testing.assert_array_equal(labels, np.argmax(lp, axis=-1))
+    # deterministic per rng seed
+    lp2 = pred.predict_logprobs(nodes, rng=np.random.default_rng(5))
+    np.testing.assert_array_equal(lp, lp2)
+
+    out = io.StringIO()
+    served = serve_jsonl(
+        pred,
+        stdin=io.StringIO(
+            '{"nodes": [3, 17], "vr_num": 1}\n\nnot json\n'
+        ),
+        stdout=out,
+        log=lambda s: None,
+    )
+    assert served == 2
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[0]["nodes"] == [3, 17]
+    assert len(lines[0]["pred"]) == 2
+    assert all(0 <= p < pred.n_classes for p in lines[0]["pred"])
+    assert "error" in lines[1]
+
+
 def test_run_node_classification_dp(toy_env, tmp_path):
     """Engine-level data parallelism (cfg.dp): the shard_map'd unbatched
     program over a 2-device 'data' axis trains end-to-end from the CLI
