@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel shards (requires that many devices; "
                          "the shard_map'd unbatched program per device)")
+    ap.add_argument("--gp", type=int, default=1,
+                    help="graph-axis (edge-partition) shards: ONE batch's "
+                         "sorted edges split contiguously across devices, "
+                         "boundary stats psum per layer (the SP analogue)")
     ap.add_argument("--edge_bf16", action="store_true", default=None,
                     help="mixed-precision per-edge stage (bf16 values, "
                          "f32 softmax/accumulation)")
@@ -65,6 +69,11 @@ def main() -> None:
         overrides["seg_pallas"] = args.seg_pallas
     if args.softmax_pallas is not None:
         overrides["softmax_pallas"] = args.softmax_pallas
+    if args.gp > 1 and args.dp > 1:
+        ap.error("--gp and --dp compose via the engine (cfg.dp x cfg.gp); "
+                 "bench measures one mode at a time")
+    if args.gp > 1:
+        overrides["graph_axis"] = "graph"
     fl = build_flagship(args.preset, **overrides)
     batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
     se = fl.sort(batch)
@@ -109,6 +118,34 @@ def main() -> None:
         )
         step = make_dp_train_step(fl.loss_fn_single(), tx, mesh)
         n_edges *= args.dp
+    elif args.gp > 1:
+        # graph-axis scaling mode: the SAME batch's edges split across
+        # devices (parallel/edge_partition.py); throughput counts the one
+        # batch against wall time — scaling efficiency = vs 1-chip step
+        from pyhgt_tpu.parallel.edge_partition import partition_sorted
+        from pyhgt_tpu.parallel.mesh import make_mesh, replicate
+        from pyhgt_tpu.parallel.spmd import make_gp_train_step
+
+        mesh = make_mesh(n_data=1, n_model=1, n_graph=args.gp,
+                         devices=jax.devices()[: args.gp])
+        pe = partition_sorted(
+            se, args.gp, num_blocks=len(fl.layout.blocks),
+            node_cap=fl.layout.node_cap,
+            num_nodes_flat=fl.layout.num_types * fl.layout.node_cap,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        gsh = NamedSharding(mesh, P("graph"))
+        bargs = tuple(
+            jax.device_put(np.asarray(a), replicate(mesh))
+            for a in fl.batch_args(batch)
+        )
+        se_stack = jax.device_put(pe, gsh)
+        y = jax.device_put(np.asarray(labels), replicate(mesh))
+        state = TrainState.create(
+            jax.device_put(params, replicate(mesh)), tx
+        )
+        step = make_gp_train_step(fl.loss_fn_single(), tx, mesh)
     else:
         # unbatched step: vmap(1) turns edge gathers into batched gathers
         # and costs ~20% (measured 380 -> 304 ms)
@@ -131,7 +168,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / args.steps
 
     assert np.isfinite(lval), f"non-finite loss {lval}"
-    edges_per_s = n_edges * n_layers / dt / args.dp
+    edges_per_s = n_edges * n_layers / dt / args.dp / args.gp
     vs = edges_per_s / BASELINE_EDGES_PER_S if BASELINE_EDGES_PER_S else 1.0
     print(
         json.dumps(
@@ -140,7 +177,8 @@ def main() -> None:
                 "value": round(edges_per_s, 1),
                 "unit": f"edges/s/chip ({n_layers}-layer fwd+bwd+adamw, "
                         f"{n_edges} edges/batch, step {dt*1e3:.1f} ms"
-                        + (f", dp={args.dp}" if args.dp > 1 else "") + ")",
+                        + (f", dp={args.dp}" if args.dp > 1 else "")
+                        + (f", gp={args.gp}" if args.gp > 1 else "") + ")",
                 "vs_baseline": round(vs, 3),
             }
         ),

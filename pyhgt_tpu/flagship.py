@@ -64,6 +64,7 @@ class FlagshipConfig:
     softmax_pallas: bool = False  # experimental (probe8-p5: standalone win,
     # full-step regression — see PERF_NOTES round 2)
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
+    graph_axis: str = ""       # mesh axis name for edge-partitioned runs
 
 
 PRESETS: Dict[str, FlagshipConfig] = {
@@ -121,16 +122,17 @@ class FlagshipModel(nn.Module):
             edge_bwd=c.edge_bwd,
             seg_pallas=c.seg_pallas,
             softmax_pallas=c.softmax_pallas,
+            graph_axis=c.graph_axis,
         )
         self.clf = Classifier(n_out=c.n_classes)
 
     def __call__(
         self, node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask,
-        em: EdgeStaticMeta, deterministic: bool = True, se=None,
+        em: EdgeStaticMeta, deterministic: bool = True, se=None, pe=None,
     ):
         h = self.gnn(
             node_feat, edge_src, edge_tgt, edge_dt, edge_mask, node_mask, em,
-            deterministic=deterministic, se=se,
+            deterministic=deterministic, se=se, pe=pe,
         )
         seeds = h[0, : self.cfg.n_seed]  # paper seeds come first by contract
         return self.clf(seeds)
@@ -184,11 +186,13 @@ class Flagship:
         """
         em = self.em
         model = self.model
+        from pyhgt_tpu.parallel.edge_partition import PartitionedEdges
 
         def loss(params, rng, nf, es, et, dt, emk, nmk, se, labels):
+            kw = {"pe": se} if isinstance(se, PartitionedEdges) else {"se": se}
             logp = model.apply(
-                params, nf, es, et, dt, emk, nmk, em, se=se,
-                deterministic=False, rngs={"dropout": rng},
+                params, nf, es, et, dt, emk, nmk, em,
+                deterministic=False, rngs={"dropout": rng}, **kw,
             )
             return nll_loss(logp, labels)
 
