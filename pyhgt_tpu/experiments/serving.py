@@ -150,6 +150,183 @@ class OgbnPredictor:
         )
 
 
+class LinkPredictor:
+    """Two-tower serving for the link-prediction family (author
+    disambiguation): offline candidate index + online top-k.
+
+    The reference's Matcher caches its left tower in-module for
+    "millions or even billions" of candidates and never invalidates it
+    (``pyHGT/model.py:27-39``); here the flow is explicit:
+
+    - :meth:`build_author_index` embeds a candidate author set once —
+      subgraphs sampled around the authors, GNN representations through
+      the matcher's LEFT tower into a versioned
+      :class:`~pyhgt_tpu.tasks.matcher_index.MatcherIndex`;
+    - :meth:`topk` answers query papers online: sample around the
+      papers, RIGHT-tower their representations, score against the
+      index on the MXU.
+
+    No leakage masking at serving time — inference wants every edge
+    (masking is a training-construction concern,
+    ``train_author_disambiguation.py:145-155``).
+    """
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        graph: CSRGraph,
+        ckpt_path: str,
+        first_meta=("author", "paper", "rev_AP_write_first"),
+        write_meta=("paper", "author", "AP_write_first"),
+        max_group: int = 32,
+        log: Callable[[str], None] = print,
+    ) -> None:
+        import jax
+
+        from pyhgt_tpu.experiments.engine import (
+            _infer_in_dim,
+            gnn_kwargs,
+            make_layout,
+            make_sampler,
+            make_tx,
+        )
+        from pyhgt_tpu.models import LinkMatcherModel
+        from pyhgt_tpu.ops.hgt import EdgeStaticMeta
+        from pyhgt_tpu.sampling.sorted_batch import sort_batch
+        from pyhgt_tpu.tasks import LinkPredictionTask
+        from pyhgt_tpu.tasks.link_prediction import (
+            build_link_pairs,
+            build_name_groups,
+        )
+        from pyhgt_tpu.experiments.engine import OAG_SPLITS
+        from pyhgt_tpu.train.checkpoint import load_checkpoint
+        from pyhgt_tpu.train.step import TrainState
+
+        self.cfg = cfg
+        self.graph = graph
+        self.sampler = make_sampler(cfg, graph, log=log)
+        groups = build_name_groups(graph, first_meta)
+        pairs = build_link_pairs(graph, groups, OAG_SPLITS, first_meta)
+        task = LinkPredictionTask(
+            graph=graph, sampler=self.sampler, layout=None, groups=groups,
+            write_meta=write_meta, batch_size=cfg.batch_size,
+            max_group=max_group,
+        )
+        _crng = np.random.default_rng(cfg.seed + 7)
+        self.layout = make_layout(
+            cfg, graph, sampler=self.sampler,
+            seeds_fn=lambda: task.build_seeds(
+                pairs["train"], OAG_SPLITS["train"], _crng
+            )[0],
+        )
+        task.layout = self.layout
+        self.task = task
+        self.em = EdgeStaticMeta.from_layout(self.layout)
+        rng0 = np.random.default_rng(cfg.seed)
+        tb0 = task.sample(pairs["train"], OAG_SPLITS["train"], rng0)
+        self.model = LinkMatcherModel(
+            gnn_kwargs=gnn_kwargs(cfg, self.layout, _infer_in_dim(tb0)),
+            n_hid=cfg.n_hid,
+            query_type_id=self.layout.schema.type_id(task.paper_type),
+            n_query=cfg.batch_size,
+        )
+        se0 = sort_batch(tb0.sub, self.layout, self.em)
+        params = self.model.init(
+            jax.random.key(cfg.seed), *tb0.batch_args, self.em, tb0.cand_idx,
+            se=se0, method=self.model.__class__.score_pairs,
+        )
+        template = TrainState.create(params, make_tx(cfg, params, 1))
+        self.state = load_checkpoint(ckpt_path, template)
+        self.max_time = int(graph.times.max()) if len(graph.times) else 0
+
+        model = self.model
+        em = self.em
+        self._gnn_fwd = jax.jit(
+            lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
+                p, nf, es, et, dt, emk, nmk, em, se=se,
+                method=lambda m, *a, **k: m.gnn(*a, **k),
+            )
+        )
+        self._left = lambda p, x: model.apply(
+            p, x, method=lambda m, xx: m.matcher.left(xx)
+        )
+        self._right = jax.jit(
+            lambda p, x: model.apply(
+                p, x, method=lambda m, xx: m.matcher.right(xx)
+            )
+        )
+        self.index = None
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def _reps(self, seed_dict, rng) -> np.ndarray:
+        """[T, C, D] GNN representations of one sampled padded subgraph."""
+        from pyhgt_tpu.sampling.batch import pad_sample
+        from pyhgt_tpu.sampling.sorted_batch import sort_batch
+        from pyhgt_tpu.tasks.base import gather_features
+
+        raw = self.sampler.sample_raw(seed_dict, rng=rng)
+        feats = gather_features(self.graph, raw, self.task.feature_fn)
+        sub = pad_sample(raw, self.layout, feats, rng=rng)
+        se = sort_batch(sub, self.layout, self.em)
+        args = (sub.node_feat, sub.edge_src, sub.edge_tgt, sub.edge_dt,
+                sub.edge_mask, sub.node_mask)
+        return np.asarray(self._gnn_fwd(self.params, *args, se))
+
+    def build_author_index(
+        self,
+        author_ids: Sequence[int],
+        rng: Optional[np.random.Generator] = None,
+    ) -> "LinkPredictor":
+        """Embed candidate authors (seeded at ``max_time``, reference
+        convention ``train_author_disambiguation.py:107-131``) into the
+        left-tower index. Call again after new checkpoints — the index is
+        versioned, not silently stale."""
+        from pyhgt_tpu.tasks.matcher_index import MatcherIndex
+
+        rng = rng or np.random.default_rng(self.cfg.seed + 11)
+        ids = np.asarray(author_ids, dtype=np.int64)
+        a_ti = self.layout.schema.type_id(self.task.author_type)
+        reps = []
+        bs = self.cfg.batch_size
+        for s in range(0, len(ids), bs):
+            chunk = ids[s : s + bs]
+            seeds = np.stack(
+                [chunk, np.full(len(chunk), self.max_time)], axis=1
+            )
+            h = self._reps({self.task.author_type: seeds}, rng)
+            reps.append(h[a_ti, : len(chunk)])  # seeds-first contract
+        if self.index is None:
+            self.index = MatcherIndex(matcher_apply=self._left)
+        self.index.build(self.params, np.concatenate(reps, axis=0), ids)
+        return self
+
+    def topk(
+        self,
+        paper_ids: Sequence[int],
+        k: int = 10,
+        times: Optional[Sequence[int]] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """Top-k candidate authors per query paper:
+        ``(scores [Q, k], author_ids [Q, k])``."""
+        if self.index is None:
+            raise RuntimeError("call build_author_index() first")
+        k = min(k, len(self.index._cand_ids))
+        rng = rng or np.random.default_rng(self.cfg.seed + 13)
+        ids = np.asarray(paper_ids, dtype=np.int64)
+        t = (np.asarray(times, dtype=np.int64) if times is not None
+             else np.full(len(ids), self.max_time))
+        p_ti = self.layout.schema.type_id(self.task.paper_type)
+        seeds = np.stack([ids, t], axis=1)
+        h = self._reps({self.task.paper_type: seeds}, rng)
+        q = self._right(self.params, h[p_ti, : len(ids)])
+        vals, cand = self.index.score(q, top_k=k)
+        return np.asarray(vals), np.asarray(cand)
+
+
 def serve_jsonl(
     predictor: OgbnPredictor,
     stdin=None,

@@ -123,6 +123,47 @@ def test_serving_predictor_and_jsonl(toy_env, tmp_path):
     assert "error" in lines[1]
 
 
+def test_link_serving_predictor(toy_env, tmp_path):
+    """Two-tower serving on a trained author-disambiguation checkpoint:
+    offline candidate index (left tower) + online top-k for query papers
+    (right tower) — the productized version of the reference Matcher's
+    in-module cache (pyHGT/model.py:27-39)."""
+    import os
+
+    from pyhgt_tpu.experiments.serving import LinkPredictor
+
+    cfg = _tiny_cfg(tmp_path, task_name="ad_serve", n_epoch=1, batch_size=8)
+    run_author_disambiguation(
+        cfg, toy_env,
+        first_meta=("author", "paper", "rev_AP_write"),
+        write_meta=("paper", "author", "AP_write"),
+        max_group=8,
+        log=lambda s: None,
+    )
+    pred = LinkPredictor(
+        cfg, toy_env, os.path.join(cfg.model_dir, "ad_serve_hgt"),
+        first_meta=("author", "paper", "rev_AP_write"),
+        write_meta=("paper", "author", "AP_write"),
+        max_group=8, log=lambda s: None,
+    )
+    n_auth = toy_env.num_nodes["author"]
+    authors = np.arange(min(12, n_auth))
+    pred.build_author_index(authors)
+    v0 = pred.index.params_version
+    vals, ids = pred.topk([0, 5, 9], k=4)
+    assert vals.shape == (3, 4) and ids.shape == (3, 4)
+    assert np.isfinite(vals).all()
+    assert set(ids.ravel().tolist()) <= set(authors.tolist())
+    # scores sorted descending per query
+    assert (np.diff(vals, axis=1) <= 1e-6).all()
+    # explicit invalidation bumps the version
+    pred.build_author_index(authors)
+    assert pred.index.params_version == v0 + 1
+    # k larger than the candidate set clamps
+    vals2, ids2 = pred.topk([0], k=100)
+    assert ids2.shape == (1, len(authors))
+
+
 def test_run_node_classification_dp(toy_env, tmp_path):
     """Engine-level data parallelism (cfg.dp): the shard_map'd unbatched
     program over a 2-device 'data' axis trains end-to-end from the CLI
