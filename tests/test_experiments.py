@@ -331,6 +331,83 @@ def test_checkpoint_resume_continues_training(toy_env, tmp_path):
     np.testing.assert_allclose(np.asarray(s3.params["w"]), w_cont, rtol=1e-6)
 
 
+_KILL_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[1])
+from tests.conftest import make_toy_graph
+from pyhgt_tpu.config import ExperimentConfig
+from pyhgt_tpu.experiments import run_node_classification
+
+g = make_toy_graph(n_paper=60, n_author=30, n_venue=5, seed=2).freeze()
+cfg = ExperimentConfig(
+    task_name="faultinj", n_hid=16, n_heads=4, n_layers=2, sample_depth=2,
+    sample_width=8, batch_size=8, n_batch=2, repeat=1, n_pool=2,
+    n_epoch=50, model_dir=sys.argv[2], node_cap=64, edge_cap=128,
+    native_sampler=False, max_lr=1e-2,
+)
+def log(s):
+    print(s, flush=True)
+run_node_classification(
+    cfg, g, label_meta=("venue", "paper", "PV_in"), multi_label=True,
+    log=log,
+)
+"""
+
+
+def test_fault_injection_sigkill_then_resume(toy_env, tmp_path):
+    """Hard-fault story: SIGKILL the training process mid-epoch (no
+    graceful shutdown), then resume from the per-epoch 'latest'
+    checkpoint and finish. Validates the checkpoint is crash-consistent,
+    not just stop-consistent (the graceful-stop case is
+    test_engine_resume_midway). The reference loses everything but the
+    best-model file on a crash (SURVEY §5)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "kill_worker.py"
+    worker.write_text(_KILL_WORKER)
+    model_dir = tmp_path / "m"
+    model_dir.mkdir()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.Popen(
+        [sys.executable, str(worker), root, str(model_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    killed_after = None
+    deadline = time.time() + 300
+    for line in proc.stdout:
+        if line.startswith("epoch "):
+            killed_after = int(line.split()[1].rstrip(":"))
+            if killed_after >= 1:
+                proc.send_signal(signal.SIGKILL)  # exact PID, hard fault
+                break
+        assert time.time() < deadline, "worker never reached epoch 1"
+    proc.wait(timeout=60)
+    assert killed_after is not None and killed_after >= 1
+
+    # recover in-process: resume must pick up from the latest checkpoint
+    logs = []
+    cfg = _tiny_cfg(
+        tmp_path, task_name="faultinj", n_epoch=killed_after + 2,
+        model_dir=str(model_dir),
+    )
+    out = run_node_classification(
+        cfg, toy_env, label_meta=("venue", "paper", "PV_in"),
+        multi_label=True, log=logs.append, resume=True,
+    )
+    assert any("resumed" in l for l in logs), logs[:3]
+    epochs = [h["epoch"] for h in out["history"]]
+    assert epochs[0] >= 1                      # did not restart from scratch
+    assert epochs[-1] == killed_after + 1      # finished the requested run
+    assert np.isfinite(out["history"][-1]["loss"])
+
+
 def test_engine_resume_midway(toy_env, tmp_path):
     """Training interrupted after epoch 1 resumes at epoch 1 (not 0)."""
     logs = []
