@@ -252,6 +252,11 @@ def test_cli_parser():
     assert a.n_hid == 64
     assert a.use_rte is False
     assert a.clip == 1.0
+    # parallelism knobs + serving subcommand ride the same surface
+    a = p.parse_args(["serve", "--data", "/tmp/x.pk", "--ckpt", "/tmp/c",
+                      "--dp", "2", "--tp", "2", "--gp", "4"])
+    assert a.task == "serve" and a.ckpt == "/tmp/c"
+    assert (a.dp, a.tp, a.gp) == (2, 2, 4)
 
 
 def test_evaluate_ogbn_from_checkpoint(toy_env, tmp_path):
