@@ -431,6 +431,195 @@ def segment_softmax_partials(att, aux: PallasSegAux, *,
     )
 
 
+def _head_map(H, D, dk, dtype):
+    """In-kernel [H, D] one-hot head map: row h is 1 on head h's dk lanes
+    (0/1 entries are exact in bf16)."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // dk
+        == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    ).astype(dtype)
+
+
+def _hi_lo_dot(x, m):
+    """~f32-accurate ``x @ m`` for exact (0/1) ``m``: two bf16 MXU passes
+    on the hi/lo split of ``x`` (relative error ~2^-16)."""
+    hi = x.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        hi, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    lo = (x.astype(jnp.float32) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return out + jax.lax.dot_general(
+        lo, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _headsum_prod_kernel(dk, a_ref, b_ref, o_ref):
+    x = a_ref[...].astype(jnp.float32) * b_ref[...].astype(jnp.float32)
+    D = x.shape[-1]
+    H = D // dk
+    # [D, H] map built directly (a .T on the [H, D] form would lower to a
+    # real Mosaic transpose)
+    hm = (
+        jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // dk
+        == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    ).astype(jnp.bfloat16)
+    o_ref[...] = _hi_lo_dot(x, hm)
+
+
+@functools.partial(jax.jit, static_argnames=("dk", "interpret"))
+def _headsum_prod_call(a, b, *, dk, interpret):
+    E, D = a.shape
+    K = PK
+    H = D // dk
+    kernel = functools.partial(_headsum_prod_kernel, dk)
+    in_spec = pl.BlockSpec((K, D), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(E // K,),
+        in_specs=[in_spec, in_spec],
+        out_specs=pl.BlockSpec((K, H), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * E * D * H,
+            bytes_accessed=(a.size * a.dtype.itemsize
+                            + b.size * b.dtype.itemsize + E * H * 4),
+            transcendentals=0,
+        ),
+    )(a, b)
+
+
+def head_sum_product(a, b, dk: int, *, interpret: Optional[bool] = None):
+    """Fused per-head reduction ``[E, H] = Σ_lanes (a ⊙ b)`` without
+    materializing the [E, D] product.
+
+    Equivalent to ``_head_sum(a.astype(f32) * b.astype(f32))`` in
+    :mod:`pyhgt_tpu.ops.sorted_hgt` — but that form makes the f32 product
+    a matmul *operand*, which XLA materializes in HBM (463 MB/use at
+    bench scale). Here the product lives only in VMEM; accuracy is the
+    hi/lo bf16 split (~2^-16 relative, vs exact for the XLA HIGHEST
+    path). Requires ``E % PK == 0`` (the sorted layout pads to PK,
+    sampling/sorted_batch.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if a.shape != b.shape:
+        raise ValueError(f"shapes differ: {a.shape} vs {b.shape}")
+    E, D = a.shape
+    if E % PK or D % dk:
+        raise ValueError(f"E={E} not a multiple of {PK} or D={D} % dk")
+    return _headsum_prod_call(a, b, dk=dk, interpret=interpret)
+
+
+def _seg_kernel_weighted(K, W, n_tiles, dk, split_hi_lo, blk_ref, loc_ref,
+                         w_ref, v_ref, out_ref, acc_ref):
+    """Like :func:`_seg_kernel` but the reduced rows are the per-head
+    weighted messages ``head_expand(w) ⊙ v``, formed in VMEM."""
+    t = pl.program_id(0)
+    cur = blk_ref[t]
+    prev = blk_ref[jnp.maximum(t - 1, 0)]
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.logical_and(t > 0, cur != prev))
+    def _():
+        acc_ref[0:W, :] = acc_ref[W:, :]
+        acc_ref[W:, :] = jnp.zeros_like(acc_ref[W:, :])
+
+    @pl.when(t < n_tiles)
+    def _():
+        loc = loc_ref[0, 0, :].reshape(K, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        oh = (loc == col).astype(jnp.bfloat16)
+        v = v_ref[...]
+        D = v.shape[-1]
+        H = D // dk
+        wt = w_ref[...].astype(jnp.float32)                    # [K, H]
+        w_exp = _hi_lo_dot(wt, _head_map(H, D, dk, jnp.bfloat16))
+        x = w_exp * v.astype(jnp.float32)                      # [K, D]
+        hi = x.astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oh, hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if split_hi_lo:
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            part += jax.lax.dot_general(
+                oh, lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[...] += part
+
+    out_ref[...] = acc_ref[0:W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dk", "precision", "interpret"))
+def _live_partials_weighted_call(blk, loc, w, v, *, dk, precision, interpret):
+    n_tiles, K = loc.shape
+    D = v.shape[-1]
+    W = PW
+    NB = blk.shape[0] - n_tiles + 1
+    split = precision == "high" and v.dtype == jnp.float32
+    kernel = functools.partial(_seg_kernel_weighted, K, W, n_tiles, dk, split)
+    loc3 = loc.reshape(n_tiles, 1, K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(blk.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 1, K),
+                         lambda t, b: (jnp.minimum(t, n_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D // dk),
+                         lambda t, b: (jnp.minimum(t, n_tiles - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda t, b: (jnp.minimum(t, n_tiles - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W, D), lambda t, b: (b[t], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K + W, D), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB * W, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * K * (K + W) * D * (2 if split else 1),
+            bytes_accessed=(v.size * v.dtype.itemsize + w.size * 4
+                            + NB * W * D * 4),
+            transcendentals=0,
+        ),
+    )(blk, loc3, w, v)
+
+
+def live_partials_weighted(w, v, dk: int, aux: PallasSegAux, *,
+                           precision: str = "high",
+                           interpret: Optional[bool] = None):
+    """Per-(tile, local-segment) partial sums of the weighted messages
+    ``head_expand(w) ⊙ v`` — :func:`live_partials` with the per-edge
+    product fused into the kernel, so the [E, D] message tensor is never
+    written to HBM (the forward's biggest remaining materialization; it
+    exists only tile-by-tile in VMEM). ``w [E, H]`` per-head scalars,
+    ``v [E, D]`` values, both in the grouping's edge order."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E, D = v.shape
+    if w.shape != (E, D // dk):
+        raise ValueError(f"w {w.shape} != ({E}, {D // dk})")
+    n_tiles, K = aux.loc.shape
+    if E != n_tiles * K:
+        raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
+    return _live_partials_weighted_call(
+        jnp.asarray(aux.blk), jnp.asarray(aux.loc), w, v,
+        dk=dk, precision=precision, interpret=interpret,
+    )
+
+
 def live_partials(data, aux: PallasSegAux, *, precision: str = "high",
                   interpret: Optional[bool] = None):
     """Per-(tile, local-segment) partial sums of sorted ``data [E, D]``.

@@ -208,6 +208,38 @@ def _seg_sum_grouped(data, se, grouping: str, use_pallas: bool):
     )
 
 
+# Routes _seg_sum_weighted through the fused weighted kernel
+# (live_partials_weighted). Both operands of each use are already
+# HBM-resident (w/coef narrow residuals, v_e/k_e save_kv residuals), so
+# by the kernel-fusion rule (docs/PERF_NOTES.md round-2) it should win
+# ~2 wide materializations per use — but the chip tunnel was down when it
+# landed, so it ships OFF until measured (CPU value/grad parity is green
+# either way; flip after a bench A/B).
+WEIGHTED_KERNEL = False
+
+
+def _seg_sum_weighted(wgt, val, H, dk, se, grouping: str, use_pallas: bool,
+                      out_dtype):
+    """Segment sum of ``head_expand(wgt) ⊙ val`` over one grouping.
+
+    On the fused Pallas path the per-edge product is formed tile-by-tile
+    in VMEM (:func:`pyhgt_tpu.ops.pallas_seg.live_partials_weighted`) —
+    the [E, D] weighted-message tensor never hits HBM. Fallback matches
+    the unfused algebra exactly (head-expand matmul + product + the
+    standard grouped reduction)."""
+    tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
+    paux = getattr(se, paux_n, None)
+    if WEIGHTED_KERNEL and _pallas_ok(val, paux, use_pallas):
+        from pyhgt_tpu.ops.pallas_seg import live_partials_weighted
+
+        live = live_partials_weighted(wgt, val, dk, paux)
+        return seg_sum_csr(live, paux.ptr2)
+    msg = (_head_expand(wgt, H, dk) * val.astype(jnp.float32)).astype(
+        out_dtype
+    )
+    return _seg_sum_grouped(msg, se, grouping, use_pallas)
+
+
 def _seg_sum_grouped_pair(d1, d2, se, grouping: str, use_pallas: bool):
     """Segment sums of TWO same-shape tensors in the same grouping order.
 
@@ -250,6 +282,20 @@ def _head_sum(x, H, dk):
     )
 
 
+def _head_sum_prod(a, b, H, dk, use_pallas: bool):
+    """``_head_sum(a ⊙ b)``.
+
+    A fused Pallas kernel (ops/pallas_seg.py:head_sum_product) was built
+    to keep the [E, D] product in VMEM, but it LOSES in the full step
+    (178.8 vs 155.3 ms): one operand of each use (the q_e / g_msg row
+    gather) is virtual under XLA — fused into this product — and a
+    pallas_call input forces it to materialize, costing more than the
+    product buffer it saves. Measured docs/PERF_NOTES.md round-2; the
+    kernel stays for shapes where both operands are already resident."""
+    del use_pallas
+    return _head_sum(a.astype(jnp.float32) * b.astype(jnp.float32), H, dk)
+
+
 def _head_expand(w, H, dk):
     """Per-head scalars to lanes: [E, H] f32 -> [E, D] f32."""
     return jnp.matmul(
@@ -274,10 +320,10 @@ def _gather_kv(k_rel, v_rel, k_tab, v_tab, gidx, tabidx, use_rte):
     return k_e, v_e
 
 
-def _attention(q_e, k_e, pri_e, mask, H, dk):
-    pre = _head_sum(
-        q_e.astype(jnp.float32) * k_e.astype(jnp.float32), H, dk
-    ) / jnp.sqrt(jnp.float32(dk))
+def _attention(q_e, k_e, pri_e, mask, H, dk, use_pallas=False):
+    pre = _head_sum_prod(q_e, k_e, H, dk, use_pallas) / jnp.sqrt(
+        jnp.float32(dk)
+    )
     att = pre * pri_e.astype(jnp.float32)
     att = jnp.where(mask[:, None], att, NEG)
     return pre, att
@@ -337,7 +383,7 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     dt = k_rel.dtype
     k_e, v_e = _gather_kv(k_rel, v_rel, k_tab, v_tab, se.gidx, se.tabidx, use_rte)
     q_e = _rows(q_n, se.edge_tgt)
-    pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk)
+    pre, att = _attention(q_e, k_e, pri_e, se.edge_mask, H, dk, seg_pallas)
     # the online-partials softmax kernel wins standalone (3.9 vs 4.8 ms
     # marginal, probe8-p5) but LOST 15 ms in the full step (scheduling /
     # fusion interaction) — off by default, selectable via dims[6]
@@ -350,11 +396,10 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
         w = _softmax_pallas(att, se)                         # [E, H] f32
     else:
         w = _softmax_tiled(att, se)                          # [E, H] f32
-    # per-edge messages written in the operand dtype (bf16 when the caller
-    # runs the edge stage in bf16) — halves the [E, D] reduce traffic; the
-    # tiled reduction still accumulates f32
-    msg = (_head_expand(w, H, dk) * v_e.astype(jnp.float32)).astype(dt)
-    aggr = _seg_sum_grouped(msg, se, "tgt", seg_pallas)
+    # per-edge messages formed in VMEM on the Pallas path (never hit HBM);
+    # fallback writes them in the operand dtype (bf16 when the caller runs
+    # the edge stage in bf16) — either way segment sums accumulate f32
+    aggr = _seg_sum_weighted(w, v_e, H, dk, se, "tgt", seg_pallas, dt)
     return aggr, w, pre, k_e, v_e
 
 
@@ -404,7 +449,7 @@ def _edge_bwd(dims, res, g_aggr):
     g_aggr_l = g_aggr.astype(dt)                           # [N, D] table
     g_msg = _rows(g_aggr_l, se.edge_tgt)                   # node gather
     g_msg_f = g_msg.astype(jnp.float32)
-    g_w = _head_sum(g_msg_f * v_e.astype(jnp.float32), H, dk)  # [E, H]
+    g_w = _head_sum_prod(g_msg, v_e, H, dk, seg_pallas)    # [E, H]
 
     # softmax backward: g_att = w * (g_w - sum_seg(w * g_w))
     s_n = seg_sum_tiled(w * g_w, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
@@ -414,13 +459,11 @@ def _edge_bwd(dims, res, g_aggr):
     g_pri_e = g_att * pre                                  # [E, H]
     coef = g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
 
-    # tgt-grouped: g_q_n (k_e is already in tgt order). All per-head
-    # scalar-broadcast products below go through _head_expand to keep
-    # [E, D] row-major (the 3-D reshape form costs a layout copy pair
-    # per use — see _head_mat)
-    coef_l = _head_expand(coef, H, dk)                     # [E, D] f32
-    g_q_e = (coef_l * k_e.astype(jnp.float32)).astype(dt)
-    g_q_n = _seg_sum_grouped(g_q_e, se, "tgt", seg_pallas)
+    # tgt-grouped: g_q_n (k_e is already in tgt order) — fused weighted
+    # reduction on the Pallas path. All remaining per-head broadcast
+    # products go through _head_expand to keep [E, D] row-major (the 3-D
+    # reshape form costs a layout copy pair per use — see _head_mat)
+    g_q_n = _seg_sum_weighted(coef, k_e, H, dk, se, "tgt", seg_pallas, dt)
 
     if recompute:
         q_l = q_n.astype(dt)
@@ -468,7 +511,7 @@ def _edge_bwd(dims, res, g_aggr):
             # permute; the paired kernel shares the grid pass + one-hot
             # per grouping
             q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32)
-            g_k_e = (coef_l * q_e).astype(dt)
+            g_k_e = (_head_expand(coef, H, dk) * q_e).astype(dt)
             g_v_e = (_head_expand(w, H, dk) * g_msg_f).astype(dt)
             gk_src = _rows(g_k_e, se.perm_src)
             gv_src = _rows(g_v_e, se.perm_src)

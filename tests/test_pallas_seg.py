@@ -234,20 +234,89 @@ def test_sorted_conv_tab_window_path():
         )
         return jnp.sum(out * tgt), out
 
+    import pyhgt_tpu.ops.sorted_hgt as sh
+
     (_, p0), gp0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
         P, x, False)
-    (_, p1), gp1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
-        P, x, True)
-    scale = float(np.max(np.abs(np.asarray(p0)))) + 1e-6
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+    for weighted in (False, True):   # fused weighted kernel: both routings
+        old = sh.WEIGHTED_KERNEL
+        sh.WEIGHTED_KERNEL = weighted
+        try:
+            (_, p1), gp1 = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(P, x, True)
+        finally:
+            sh.WEIGHTED_KERNEL = old
+        scale = float(np.max(np.abs(np.asarray(p0)))) + 1e-6
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-4, atol=1e-4 * scale,
+                                   err_msg=f"weighted={weighted}")
+        for name, a, b in [("x", gp1[1], gp0[1])] + [
+            (k, gp1[0][k], gp0[0][k]) for k in P
+        ]:
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            s = np.max(np.abs(b)) + 1e-6
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=1e-4 * s,
+                err_msg=f"{name} weighted={weighted}")
+
+
+def test_head_sum_product_matches_xla():
+    from pyhgt_tpu.ops.pallas_seg import head_sum_product
+
+    rng = np.random.default_rng(21)
+    E, D, dk = 4 * PK, 256, 32
+    a = rng.normal(size=(E, D)).astype(np.float32)
+    b = rng.normal(size=(E, D)).astype(np.float32)
+    ref = (a.astype(np.float64) * b).reshape(E, D // dk, dk).sum(-1)
+    out = head_sum_product(jnp.asarray(a), jnp.asarray(b), dk)
+    assert out.shape == (E, D // dk)
+    scale = np.max(np.abs(ref)) + 1e-6
+    np.testing.assert_allclose(np.asarray(out), ref,
                                rtol=1e-4, atol=1e-4 * scale)
-    for name, a, b in [("x", gp1[1], gp0[1])] + [
-        (k, gp1[0][k], gp0[0][k]) for k in P
-    ]:
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        s = np.max(np.abs(b)) + 1e-6
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4 * s,
-                                   err_msg=name)
+    # bf16 inputs (the production edge dtype)
+    out_bf = head_sum_product(
+        jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16), dk
+    )
+    np.testing.assert_allclose(np.asarray(out_bf), ref,
+                               rtol=3e-2, atol=2e-2 * scale)
+    with pytest.raises(ValueError, match="shapes differ"):
+        head_sum_product(jnp.asarray(a), jnp.asarray(b[:, :128]), dk)
+    with pytest.raises(ValueError, match="multiple"):
+        head_sum_product(jnp.asarray(a[: PK + 1]), jnp.asarray(b[: PK + 1]),
+                         dk)
+
+
+def test_live_partials_weighted_matches_unfused():
+    from pyhgt_tpu.ops.pallas_seg import live_partials_weighted
+
+    rng = np.random.default_rng(23)
+    E, S, D, dk = 4 * PK, 300, 256, 64
+    H = D // dk
+    keys = np.sort(rng.integers(0, S, size=E - 40))
+    keys = np.concatenate([keys, np.full(40, S)]).astype(np.int64)
+    aux = pallas_seg_aux(keys, S)
+    w = rng.random(size=(E, H)).astype(np.float32)
+    v = rng.normal(size=(E, D)).astype(np.float32)
+    msg = np.repeat(w, dk, axis=1) * v
+    ref = _ref_seg_sum(keys, msg, S)
+    out = seg_sum_csr(
+        live_partials_weighted(jnp.asarray(w), jnp.asarray(v), dk, aux),
+        jnp.asarray(aux.ptr2),
+    )
+    scale = np.max(np.abs(ref)) + 1e-6
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               rtol=1e-4, atol=1e-4 * scale)
+    # bf16 values: single-pass matmul, bf16-class accuracy
+    out_bf = seg_sum_csr(
+        live_partials_weighted(
+            jnp.asarray(w), jnp.asarray(v, jnp.bfloat16), dk, aux
+        ),
+        jnp.asarray(aux.ptr2),
+    )
+    np.testing.assert_allclose(np.asarray(out_bf), ref,
+                               rtol=2e-2, atol=1e-2 * scale)
+    with pytest.raises(ValueError, match="!="):
+        live_partials_weighted(jnp.asarray(w[:, :2]), jnp.asarray(v), dk, aux)
 
 
 def test_live_partials_rejects_bad_shape():
