@@ -61,7 +61,8 @@ def build(scale: float, seed: int = 0):
     nP, nA = s(SCALE_1["n_paper"]), s(SCALE_1["n_author"])
     nF, nV = s(SCALE_1["n_field"]), s(SCALE_1["n_venue"])
     nI = s(SCALE_1["n_aff"])
-    nL2 = min(s(SCALE_1["n_l2"]), nF)
+    nL2 = min(s(SCALE_1["n_l2"]), nF - 1)  # keep >=1 non-L2 field so the
+    # L1 rollup ids (nL2..nF) stay in range at tiny --scale
     nC = max(min(nL2 // 8, 256), 4)   # latent communities
 
     comm_p = r.integers(0, nC, size=nP)

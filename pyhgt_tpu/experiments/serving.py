@@ -116,15 +116,16 @@ class OgbnPredictor:
         is the served prediction). Extra subgraph co-members are free
         riders: any requested node appearing in another request node's
         subgraph also contributes its row."""
-        vr = vr_num if vr_num is not None else max(self.cfg.vr_num, 1)
+        vr = max(vr_num if vr_num is not None else self.cfg.vr_num, 1)
         rng = rng or np.random.default_rng(self.cfg.seed + 9)
         ids = np.asarray(node_ids, dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        sorted_ids = ids[order]
-        acc = np.zeros((len(ids), self.n_classes), dtype=np.float64)
+        # accumulate per UNIQUE id, broadcast to duplicate request rows at
+        # the end (a duplicated id must answer identically on every row)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc_u = np.zeros((len(uniq), self.n_classes), dtype=np.float64)
         bs = self.cfg.batch_size
-        for s in range(0, len(ids), bs):
-            chunk = ids[s : s + bs]
+        for s in range(0, len(uniq), bs):
+            chunk = uniq[s : s + bs]
             for _ in range(vr):
                 tb = self.task.sample(chunk, rng, split="train")
                 logp = np.asarray(
@@ -132,11 +133,12 @@ class OgbnPredictor:
                 )
                 tids = np.asarray(tb.target_ids)
                 live = tids >= 0
-                pos = np.searchsorted(sorted_ids, tids[live])
-                pos = np.minimum(pos, len(ids) - 1)
-                hit = sorted_ids[pos] == tids[live]
-                acc[order[pos[hit]]] += logp[live][hit]
-        return acc
+                pos = np.searchsorted(uniq, tids[live])
+                pos = np.minimum(pos, len(uniq) - 1)
+                hit = uniq[pos] == tids[live]
+                # tids are unique within one subgraph, so fancy += is safe
+                acc_u[pos[hit]] += logp[live][hit]
+        return acc_u[inv]
 
     def predict(
         self,
@@ -320,11 +322,17 @@ class LinkPredictor:
         t = (np.asarray(times, dtype=np.int64) if times is not None
              else np.full(len(ids), self.max_time))
         p_ti = self.layout.schema.type_id(self.task.paper_type)
-        seeds = np.stack([ids, t], axis=1)
-        h = self._reps({self.task.paper_type: seeds}, rng)
-        q = self._right(self.params, h[p_ti, : len(ids)])
-        vals, cand = self.index.score(q, top_k=k)
-        return np.asarray(vals), np.asarray(cand)
+        vals_out, cand_out = [], []
+        bs = self.cfg.batch_size  # chunk: seeds beyond node_cap would be
+        # silently truncated by pad_sample (sampling/batch.py)
+        for s in range(0, len(ids), bs):
+            seeds = np.stack([ids[s : s + bs], t[s : s + bs]], axis=1)
+            h = self._reps({self.task.paper_type: seeds}, rng)
+            q = self._right(self.params, h[p_ti, : len(seeds)])
+            vals, cand = self.index.score(q, top_k=k)
+            vals_out.append(np.asarray(vals))
+            cand_out.append(np.asarray(cand))
+        return np.concatenate(vals_out), np.concatenate(cand_out)
 
 
 def serve_jsonl(

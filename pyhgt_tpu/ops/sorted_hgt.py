@@ -472,7 +472,8 @@ def _edge_bwd(dims, res, g_aggr):
             """g_k (= coef⊙q_tgt) and g_v (= w⊙g_aggr_tgt) segment sums
             over one grouping, recomputed natively in that grouping's
             edge order."""
-            coef_o = _head_expand(_rows(coef, perm), H, dk)  # [E, H] cheap
+            # narrow [E, H] permutes, then head-expanded to [E, D] lanes
+            coef_o = _head_expand(_rows(coef, perm), H, dk)
             w_o = _head_expand(_rows(w, perm), H, dk)
             q_o = _rows(q_l, tgt_order).astype(jnp.float32)
             gm_o = _rows(g_aggr_l, tgt_order).astype(jnp.float32)

@@ -37,6 +37,8 @@ from pyhgt_tpu.ops.sorted_hgt import (
     NEG,
     _attention,
     _gather_kv,
+    _head_expand,
+    _head_sum,
     seg_max_csr,
     seg_sum_csr,
 )
@@ -153,7 +155,10 @@ def _part_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
     den_n = jax.lax.psum(seg_sum_csr(ex, seg_ptr_tgt), axis)            # [N, H]
     den_n = jnp.maximum(den_n, 1e-30)
     w = ex / den_n[edge_tgt]
-    msg = (w[:, :, None] * v_e.astype(jnp.float32).reshape(E, H, dk)).reshape(E, D)
+    # per-head broadcast via the one-hot MXU matmul — the [E, H, dk]
+    # reshape forms cost a wide layout-copy pair per use (the measured
+    # rule in docs/PERF_NOTES.md / DESIGN.md §4)
+    msg = _head_expand(w, H, dk) * v_e.astype(jnp.float32)
     aggr_p = seg_sum_csr(msg, seg_ptr_tgt)                               # [N, D]
     return aggr_p, w
 
@@ -187,10 +192,8 @@ def _part_bwd(dims, res, g_aggr):
 
     g_aggr = g_aggr.astype(jnp.float32)
     g_msg = g_aggr[edge_tgt]
-    v_eh = v_e.astype(jnp.float32).reshape(E, H, dk)
-    g_msg_h = g_msg.reshape(E, H, dk)
-    g_w = jnp.sum(g_msg_h * v_eh, axis=-1)
-    g_v_e = (w[:, :, None] * g_msg_h).reshape(E, D)
+    g_w = _head_sum(g_msg * v_e.astype(jnp.float32), H, dk)
+    g_v_e = _head_expand(w, H, dk) * g_msg
 
     # softmax backward with the cross-shard Jacobian term
     s_n = jax.lax.psum(seg_sum_csr(w * g_w, seg_ptr_tgt), axis)   # [N, H]
@@ -199,10 +202,9 @@ def _part_bwd(dims, res, g_aggr):
 
     g_pri_e = g_att * pre
     coef = g_att * pri_e.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
-    k_eh = k_e.astype(jnp.float32).reshape(E, H, dk)
-    q_eh = q_e.astype(jnp.float32).reshape(E, H, dk)
-    g_q_e = (coef[:, :, None] * k_eh).reshape(E, D)
-    g_k_e = (coef[:, :, None] * q_eh).reshape(E, D)
+    coef_l = _head_expand(coef, H, dk)
+    g_q_e = coef_l * k_e.astype(jnp.float32)
+    g_k_e = coef_l * q_e.astype(jnp.float32)
 
     g_q_n = seg_sum_csr(g_q_e, seg_ptr_tgt)
     g_k_rel = seg_sum_csr(g_k_e[perm_src], seg_ptr_src)

@@ -83,7 +83,9 @@ def main(argv=None) -> int:
 
     from pyhgt_tpu.utils.experiment import args_print
 
-    args_print(dataclasses.asdict(cfg))
+    # serve keeps stdout as a pure JSON-lines channel
+    args_print(dataclasses.asdict(cfg),
+               file=sys.stderr if args.task == "serve" else None)
     graph = load_graph(cfg.data_path)
 
     from pyhgt_tpu.experiments import (
@@ -126,7 +128,11 @@ def main(argv=None) -> int:
 
         if not args.ckpt:
             raise SystemExit("--ckpt required for serve")
-        serve_jsonl(OgbnPredictor(cfg, graph, args.ckpt))
+        # stdout is the JSON-lines response channel — route every log line
+        # (sampler fallbacks, calibration, the served-count summary) to
+        # stderr so clients can json.loads each stdout line
+        err = lambda s: print(s, file=sys.stderr)
+        serve_jsonl(OgbnPredictor(cfg, graph, args.ckpt, log=err), log=err)
     return 0
 
 

@@ -25,15 +25,13 @@ from typing import Optional, Tuple
 import numpy as np
 
 _LIB = None
-_TRIED = False
 
 
 def _lib():
-    global _LIB, _TRIED
+    global _LIB
     if _LIB is None:
         from pyhgt_tpu.native.build import load_library
 
-        _TRIED = True
         _LIB = load_library()
     return _LIB
 

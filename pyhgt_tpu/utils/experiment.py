@@ -13,12 +13,13 @@ def get_n_params(params) -> int:
     )
 
 
-def args_print(args) -> None:
+def args_print(args, file=None) -> None:
     """Pretty-print a config namespace/dataclass/dict as an aligned table
     (``utils.py:16-23`` uses texttable; plain formatting here)."""
     items = vars(args) if not isinstance(args, dict) else args
     width = max((len(str(k)) for k in items), default=0)
-    print("\n".join(f"  {k:<{width}}  {v}" for k, v in items.items()))
+    print("\n".join(f"  {k:<{width}}  {v}" for k, v in items.items()),
+          file=file)
 
 
 def randint() -> int:

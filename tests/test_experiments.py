@@ -105,6 +105,14 @@ def test_serving_predictor_and_jsonl(toy_env, tmp_path):
     # deterministic per rng seed
     lp2 = pred.predict_logprobs(nodes, rng=np.random.default_rng(5))
     np.testing.assert_array_equal(lp, lp2)
+    # duplicated request ids answer identically on every row (and get
+    # real accumulations, not zeros — code-review round-2 finding)
+    lp_dup = pred.predict_logprobs([17, 3, 17], rng=np.random.default_rng(5))
+    np.testing.assert_array_equal(lp_dup[0], lp_dup[2])
+    assert (lp_dup < 0).all()
+    # vr_num=0 clamps to one resample rather than silently predicting 0
+    lp0 = pred.predict_logprobs([3], vr_num=0, rng=np.random.default_rng(5))
+    assert (lp0 < 0).all()
 
     out = io.StringIO()
     served = serve_jsonl(
