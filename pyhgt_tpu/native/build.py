@@ -91,6 +91,11 @@ def load_library() -> ctypes.CDLL:
             i32p, c.c_int64, c.c_int32, c.c_int32, c.c_int32, c.c_int64,
             i32p, i32p, i32p, i32p,
         ]
+        lib.sb_tab_window_aux.restype = c.c_int
+        lib.sb_tab_window_aux.argtypes = [
+            i32p, c.c_int64, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+            i32p, i32p,
+        ]
         u8p = c.POINTER(c.c_uint8)
         lib.sb_permute_build.restype = c.c_int
         lib.sb_permute_build.argtypes = [

@@ -141,6 +141,40 @@ int64_t sb_pallas_aux(const int32_t* key_sorted, int64_t E, int32_t S,
     return live;
 }
 
+// Tab-window kernel aux on SRC-ORDERED data (mirrors
+// sorted_batch.pallas_tab_window_aux): in src order the meta-block is
+// contiguous, so tabidx = block*L + dt has a bounded per-tile window
+// loc = (block - tile_block)*W + dt. Fills loc[tiles*K] and
+// blk_ext[tiles + NB - 1]; returns 0, or -1 when a tile spans >2 blocks
+// / blocks are non-monotone (caller falls back to the permute path).
+int sb_tab_window_aux(const int32_t* tab_src_order, int64_t E,
+                      int32_t num_blocks, int32_t L, int32_t K, int32_t W,
+                      int32_t* loc, int32_t* blk_ext) {
+    const int64_t tiles = E / K;
+    int32_t prev_blk = -1;
+    for (int64_t t = 0; t < tiles; ++t) {
+        const int64_t base = t * K;
+        const int32_t b0 = tab_src_order[base] / L;
+        if (t == 0 && b0 != 0) return -1;
+        if (prev_blk >= 0 && (b0 < prev_blk || b0 > prev_blk + 1)) return -1;
+        prev_blk = b0;
+        blk_ext[t] = b0;
+        for (int32_t j = 0; j < K; ++j) {
+            const int32_t v = tab_src_order[base + j];
+            const int32_t blk = v / L;
+            if (blk - b0 > 1 || blk < b0) return -1;
+            loc[base + j] = (blk - b0) * W + (v - blk * L);
+        }
+    }
+    const int32_t last_blk = tiles ? blk_ext[tiles - 1] : 0;
+    const int64_t NB = num_blocks;
+    for (int64_t i = 0; i < NB - 1; ++i) {
+        int64_t b = (int64_t)last_blk + 1 + i;
+        blk_ext[tiles + i] = (int32_t)(b < NB - 1 ? b : NB - 1);
+    }
+    return 0;
+}
+
 // Fused permute + index build + pad for the target-sorted edge view
 // (replaces the numpy body of sorted_batch.sort_edges between the target
 // counting sort and the per-grouping aux: 8 fancy-index gathers, masked

@@ -125,6 +125,30 @@ def tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int):
     return tl, live_idx, live_key, live_last, seg_ptr2
 
 
+def tab_window_aux(tab_src_order: np.ndarray, num_blocks: int, L: int,
+                   K: int, W: int):
+    """Native :func:`pyhgt_tpu.sampling.sorted_batch.pallas_tab_window_aux`.
+    Returns None when the window structure doesn't hold (tiny layouts),
+    exactly like the numpy reference."""
+    from pyhgt_tpu.ops.pallas_seg import PallasSegAux
+
+    lib = _lib()
+    assert W >= L, (W, L)
+    tab = np.ascontiguousarray(tab_src_order, dtype=np.int32)
+    E = tab.shape[0]
+    assert E % K == 0, (E, K)
+    tiles = E // K
+    loc = np.empty((tiles, K), np.int32)
+    blk_ext = np.empty(tiles + num_blocks - 1, np.int32)
+    rc = lib.sb_tab_window_aux(_i32p(tab), E, num_blocks, L, K, W,
+                               _i32p(loc), _i32p(blk_ext))
+    if rc != 0:
+        return None
+    s = np.arange(num_blocks * L + 1)
+    ptr2 = ((s // L) * W + s % L).astype(np.int32)
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2)
+
+
 def pallas_aux(key_sorted: np.ndarray, num_segments: int, K: int, W: int):
     """Native :func:`pyhgt_tpu.sampling.sorted_batch.pallas_seg_aux`."""
     from pyhgt_tpu.ops.pallas_seg import PallasSegAux

@@ -374,11 +374,12 @@ def sort_edges(
             pseg_tgt = nb.pallas_aux(key, N, PK, PW)
             pseg_src = nb.pallas_aux(key_src_sorted, B * C, PK, PW)
             pseg_tab = nb.pallas_aux(key_tab_sorted, B * L, PK, PW)
+            ptab_src = nb.tab_window_aux(tabidx[perm_src], B, L, PK, PW)
         else:
             pseg_tgt = pallas_seg_aux(key, N)
             pseg_src = pallas_seg_aux(key_src_sorted.astype(np.int64), B * C)
             pseg_tab = pallas_seg_aux(key_tab_sorted.astype(np.int64), B * L)
-        ptab_src = pallas_tab_window_aux(tabidx[perm_src], B, L)
+            ptab_src = pallas_tab_window_aux(tabidx[perm_src], B, L)
 
     if safe_tgt_n is not None:
         safe_tgt = safe_tgt_n

@@ -72,6 +72,27 @@ def test_pallas_aux_matches_numpy(E, S, seed, hub):
     np.testing.assert_array_equal(got.live_key, ref.live_key)
 
 
+def test_tab_window_aux_matches_numpy():
+    from pyhgt_tpu.sampling.sorted_batch import pallas_tab_window_aux
+
+    rng = np.random.default_rng(31)
+    B, L, K, W = 3, 240, 512, 512
+    sizes = [3 * K + 100, 2 * K - 100, 3 * K]
+    tab = np.concatenate([
+        b * L + rng.integers(0, L, size=s) for b, s in enumerate(sizes)
+    ]).astype(np.int64)
+    got = nb.tab_window_aux(tab, B, L, K, W)
+    ref = pallas_tab_window_aux(tab, B, L)
+    assert ref is not None and got is not None
+    np.testing.assert_array_equal(got.loc, ref.loc)
+    np.testing.assert_array_equal(got.blk, ref.blk)
+    np.testing.assert_array_equal(got.ptr2, ref.ptr2)
+    # structure-violating inputs return None like the reference
+    scrambled = rng.integers(0, B * L, size=tab.shape[0]).astype(np.int64)
+    assert nb.tab_window_aux(scrambled, B, L, K, W) is None
+    assert pallas_tab_window_aux(scrambled, B, L) is None
+
+
 def test_sort_batch_native_equals_numpy():
     schema = GraphSchema(
         node_types=("paper", "author"),
