@@ -1,0 +1,83 @@
+"""One-session A/B sweep of the round-2 pending perf questions.
+
+Batched into a single process because every remote compile through the
+axon tunnel costs 30-60 s and the tunnel can die for hours (CLAUDE.md):
+run once, print progressively.
+
+Questions (docs/PERF_NOTES.md round-2):
+  1. WEIGHTED_KERNEL on vs off — the fused weighted segment-sum routing
+     (live_partials_weighted) landed while the tunnel was down; both
+     operands are HBM-resident so the fusion rule predicts a win.
+  2. edge_bwd=recompute at the new 155 ms floor — its economics changed
+     twice (head-matmul layout fix + weighted kernel); re-verify permute
+     stays the right default.
+  3. softmax_pallas at the new floor (third measurement under different
+     fusion surroundings).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    import pyhgt_tpu.ops.sorted_hgt as sh
+    from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
+    from pyhgt_tpu.train.optim import cosine_schedule, make_optimizer
+    from pyhgt_tpu.train.step import TrainState, make_train_step
+
+    results = {}
+
+    def measure(tag, weighted, **overrides):
+        sh.WEIGHTED_KERNEL = weighted
+        fl = build_flagship("bench", **overrides)
+        batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
+        se = fl.sort(batch)
+        params = fl.init_params(jax.random.key(0), batch, se)
+        tx = make_optimizer(cosine_schedule(1e-3, 1000), weight_decay=0.01,
+                            clip_norm=0.25, params=params)
+        state = TrainState.create(params, tx)
+        step = make_train_step(fl.loss_fn_single(), tx)
+        bargs = tuple(jax.device_put(np.asarray(a))
+                      for a in fl.batch_args(batch))
+        se_d = jax.device_put(se)
+        y = jax.device_put(np.asarray(labels))
+        rng = jax.random.key(1)
+        for _ in range(3):
+            state, loss = step(state, rng, *bargs, se_d, y)
+        float(loss)  # hard sync (block_until_ready lies on axon)
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            state, loss = step(state, rng, *bargs, se_d, y)
+        lval = float(loss)
+        dt = (time.perf_counter() - t0) / n
+        assert np.isfinite(lval), lval
+        results[tag] = dt * 1e3
+        print(f"{tag}: {dt*1e3:.1f} ms/step", flush=True)
+
+    measure("baseline (weighted off)", False)
+    measure("weighted kernel ON", True)
+    best_weighted = results["weighted kernel ON"] < results[
+        "baseline (weighted off)"]
+    measure("recompute bwd (weighted best)", best_weighted,
+            edge_bwd="recompute")
+    measure("src_direct bwd (weighted best)", best_weighted,
+            edge_bwd="src_direct")
+    measure("softmax_pallas (weighted best)", best_weighted,
+            softmax_pallas=True)
+    print("RESULTS", results, flush=True)
+    print("verdict: flip WEIGHTED_KERNEL ->", best_weighted, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
