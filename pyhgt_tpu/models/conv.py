@@ -443,11 +443,16 @@ class RGCNConv(nn.Module):
     """Relational GCN — advertised but UNIMPLEMENTED in the reference CLI
     (``OAG/train_paper_field.py:28``); provided here as a real capability.
 
-    Per-relation transforms + symmetric-degree-normalized aggregation
-    (Schlichtkrull et al. 2018, basis form with one matrix per relation),
-    evaluated TPU-style: the relation transform happens at node level per
-    edge block (same trick as HGT), so the per-edge work is gather +
-    normalized segment sum.
+    Per-relation transforms (Schlichtkrull et al. 2018, one matrix per
+    relation) + in-degree-MEAN aggregation across all incoming edges:
+    ``out_i = relu((Σ_{e: j→i} W_{r(e)} x_j) / deg_i + b)``. Deliberate
+    deviation from the paper's per-relation normalizer ``c_{i,r}``
+    (which the paper itself calls problem-specific): one total-degree
+    mean keeps the aggregation a single segment sum. Evaluated
+    TPU-style: the relation transform happens at node level per edge
+    block (same trick as HGT), so the per-edge work is gather +
+    normalized segment sum. Semantics pinned by an independent f64
+    oracle (tests/test_models.py::test_rgcn_matches_numpy_oracle).
     """
 
     in_dim: int

@@ -67,6 +67,93 @@ def test_gnn_forward_shapes_and_mask(layout, rng, conv_name):
     assert np.all(np.asarray(out)[~node_mask] == 0)
 
 
+def test_rgcn_matches_numpy_oracle(layout, rng):
+    """RGCNConv == an independent f64 evaluation of its stated equation
+    out_i = relu((Σ_e W_r(e) x_src(e)) / deg_i + b) — pins the per-block
+    relation-transform indexing against the flat edge layout (VERDICT
+    round-1 'extra convs are shape-tested only')."""
+    from pyhgt_tpu.models.conv import RGCNConv
+
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    T, C, Din = x.shape
+    Dout = 20
+    conv = RGCNConv(in_dim=Din, out_dim=Dout,
+                    num_relations=layout.schema.num_relations)
+    params = conv.init(jax.random.key(1), x, es, et, dt, mask, node_mask, em)
+    got = np.asarray(
+        conv.apply(params, x, es, et, dt, mask, node_mask, em), np.float64
+    )
+
+    w_rel = np.asarray(params["params"]["w_rel"], np.float64)
+    b = np.asarray(params["params"]["b"], np.float64)
+    xf = x.reshape(T * C, Din).astype(np.float64)
+    rel = np.asarray(em.edge_rel)
+    acc = np.zeros((T * C, Dout))
+    deg = np.zeros(T * C)
+    for i in np.flatnonzero(mask):
+        acc[et[i]] += xf[es[i]] @ w_rel[rel[i]]
+        deg[et[i]] += 1
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1e-12), 0.0)
+    ref = np.maximum(acc * inv[:, None] + b, 0.0).reshape(T, C, Dout)
+    ref = ref * node_mask[..., None]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_han_matches_numpy_oracle(layout, rng):
+    """HANConv == an independent f64 evaluation of its stated equations
+    (per-relation GAT attention, per-(target, relation) softmax, semantic
+    attention over relations)."""
+    from pyhgt_tpu.models.conv import HANConv
+
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    T, C, Din = x.shape
+    Dout, H = 16, 4
+    dk = Dout // H
+    R = layout.schema.num_relations
+    conv = HANConv(in_dim=Din, out_dim=Dout, num_relations=R, n_heads=H,
+                   sem_dim=8)
+    params = conv.init(jax.random.key(2), x, es, et, dt, mask, node_mask, em)
+    got = np.asarray(
+        conv.apply(params, x, es, et, dt, mask, node_mask, em), np.float64
+    )
+
+    P = params["params"]
+    W = np.asarray(P["Dense_0"]["kernel"], np.float64)
+    a_src = np.asarray(P["a_src"], np.float64)
+    a_tgt = np.asarray(P["a_tgt"], np.float64)
+    Wp = np.asarray(P["Dense_1"]["kernel"], np.float64)
+    bp = np.asarray(P["Dense_1"]["bias"], np.float64)
+    q = np.asarray(P["sem_q"], np.float64)
+
+    N = T * C
+    rel = np.asarray(em.edge_rel)
+    h = (x.reshape(N, Din).astype(np.float64) @ W).reshape(N, H, dk)
+    e = np.zeros((len(es), H))
+    for i in np.flatnonzero(mask):
+        e[i] = (h[es[i]] * a_src[rel[i]]).sum(-1) + (
+            h[et[i]] * a_tgt[rel[i]]).sum(-1)
+    e = np.where(e > 0, e, 0.2 * e)  # leaky relu
+    h_rel = np.zeros((N, R, Dout))
+    for n in range(N):
+        for r in range(R):
+            idx = np.flatnonzero(mask & (et == n) & (rel == r))
+            if len(idx) == 0:
+                continue
+            z = np.exp(e[idx] - e[idx].max(axis=0, keepdims=True))
+            w = z / z.sum(axis=0, keepdims=True)
+            h_rel[n, r] = (w[:, :, None] * h[es[idx]]).sum(0).reshape(Dout)
+    proj = np.tanh(h_rel @ Wp + bp)
+    nm = node_mask.reshape(N).astype(np.float64)
+    scores = ((proj @ q)[:, :, 0] * nm[:, None]).sum(0) / max(nm.sum(), 1.0)
+    beta = np.exp(scores - scores.max())
+    beta = beta / beta.sum()
+    ref = (h_rel * beta[None, :, None]).sum(1).reshape(T, C, Dout)
+    ref = ref * node_mask[..., None]
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
+
+
 def test_gnn_padding_invariance(layout, rng):
     """Garbage in padded node slots must not change valid outputs."""
     em = EdgeStaticMeta.from_layout(layout)
