@@ -154,6 +154,45 @@ def test_han_matches_numpy_oracle(layout, rng):
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
 
 
+def test_hetgnn_matches_numpy_oracle(layout, rng):
+    """HetGNNConv == an independent f64 evaluation of its stated equations
+    (per-source-type mean aggregation, type-level attention incl. the
+    self embedding)."""
+    from pyhgt_tpu.models.conv import HetGNNConv
+
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    T, C, Din = x.shape
+    Dout = 16
+    conv = HetGNNConv(in_dim=Din, out_dim=Dout, num_types=T)
+    params = conv.init(jax.random.key(3), x, es, et, dt, mask, node_mask, em)
+    got = np.asarray(
+        conv.apply(params, x, es, et, dt, mask, node_mask, em), np.float64
+    )
+
+    P = params["params"]
+    W = np.asarray(P["Dense_0"]["kernel"], np.float64)
+    bD = np.asarray(P["Dense_0"]["bias"], np.float64)
+    a = np.asarray(P["a"], np.float64)
+    N = T * C
+    h = x.reshape(N, Din).astype(np.float64) @ W + bD
+    stype = np.asarray(em.block_src)[np.asarray(em.edge_block)]
+    agg = np.zeros((N, T, Dout))
+    cnt = np.zeros((N, T))
+    for i in np.flatnonzero(mask):
+        agg[et[i], stype[i]] += h[es[i]]
+        cnt[et[i], stype[i]] += 1
+    agg = agg / np.maximum(cnt, 1.0)[:, :, None]
+    cand = np.concatenate([h[:, None, :], agg], axis=1)      # [N, T+1, D]
+    sc = (cand * h[:, None, :]) @ a                          # [N, T+1, 1]
+    sc = np.where(sc > 0, sc, 0.2 * sc)
+    z = np.exp(sc - sc.max(axis=1, keepdims=True))
+    alpha = z / z.sum(axis=1, keepdims=True)
+    ref = (alpha * cand).sum(axis=1).reshape(T, C, Dout)
+    ref = ref * node_mask[..., None]
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
+
+
 def test_gnn_padding_invariance(layout, rng):
     """Garbage in padded node slots must not change valid outputs."""
     em = EdgeStaticMeta.from_layout(layout)
