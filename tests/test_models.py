@@ -193,6 +193,60 @@ def test_hetgnn_matches_numpy_oracle(layout, rng):
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
 
 
+def test_gcn_gat_match_numpy_oracle(layout, rng):
+    """GCN/GAT baselines == independent f64 evaluations of their stated
+    equations (symmetric-degree norm; additive attention + per-target
+    softmax)."""
+    from pyhgt_tpu.models.conv import GATConv, GCNConv
+
+    em = EdgeStaticMeta.from_layout(layout)
+    x, es, et, dt, mask, node_mask = _rand_batch(layout, rng)
+    T, C, Din = x.shape
+    N = T * C
+    Dout = 16
+
+    gcn = GCNConv(in_dim=Din, out_dim=Dout)
+    p = gcn.init(jax.random.key(4), x, es, et, dt, mask, node_mask, em)
+    got = np.asarray(
+        gcn.apply(p, x, es, et, dt, mask, node_mask, em), np.float64)
+    W = np.asarray(p["params"]["Dense_0"]["kernel"], np.float64)
+    b = np.asarray(p["params"]["Dense_0"]["bias"], np.float64)
+    h = x.reshape(N, Din).astype(np.float64) @ W + b
+    deg = np.zeros(N)
+    for i in np.flatnonzero(mask):
+        deg[et[i]] += 1
+    isq = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    ref = np.zeros((N, Dout))
+    for i in np.flatnonzero(mask):
+        ref[et[i]] += h[es[i]] * isq[et[i]] * isq[es[i]]
+    ref = ref.reshape(T, C, Dout) * node_mask[..., None]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    H, dk = 4, Dout // 4
+    gat = GATConv(in_dim=Din, out_dim=Dout, n_heads=H, dropout=0.0)
+    p = gat.init(jax.random.key(5), x, es, et, dt, mask, node_mask, em)
+    got = np.asarray(
+        gat.apply(p, x, es, et, dt, mask, node_mask, em), np.float64)
+    W = np.asarray(p["params"]["Dense_0"]["kernel"], np.float64)
+    a_s = np.asarray(p["params"]["a_src"], np.float64)
+    a_t = np.asarray(p["params"]["a_tgt"], np.float64)
+    h = (x.reshape(N, Din).astype(np.float64) @ W).reshape(N, H, dk)
+    e = np.zeros((len(es), H))
+    for i in np.flatnonzero(mask):
+        e[i] = (h[es[i]] * a_s).sum(-1) + (h[et[i]] * a_t).sum(-1)
+    e = np.where(e > 0, e, 0.2 * e)
+    ref = np.zeros((N, H, dk))
+    for n in range(N):
+        idx = np.flatnonzero(mask & (et == n))
+        if len(idx) == 0:
+            continue
+        z = np.exp(e[idx] - e[idx].max(axis=0, keepdims=True))
+        w = z / z.sum(axis=0, keepdims=True)
+        ref[n] = (w[:, :, None] * h[es[idx]]).sum(0)
+    ref = ref.reshape(T, C, Dout) * node_mask[..., None]
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
+
+
 def test_gnn_padding_invariance(layout, rng):
     """Garbage in padded node slots must not change valid outputs."""
     em = EdgeStaticMeta.from_layout(layout)
