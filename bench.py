@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_EDGES_PER_S = 2_383_560.0
 
 
-def main() -> None:
+def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="bench")
     ap.add_argument("--steps", type=int, default=10)
@@ -52,7 +52,37 @@ def main() -> None:
                     action="store_false")
     ap.add_argument("--softmax_pallas", action="store_true", default=None,
                     help="fused online-softmax Pallas kernel (experimental)")
+    ap.add_argument("--no-probe", dest="probe", action="store_false",
+                    default=True,
+                    help="skip the bounded device-reachability probe")
+    ap.add_argument("--probe_timeout", type=int, default=300)
     args = ap.parse_args()
+
+    if args.probe:
+        # the axon tunnel can die for hours and then HANGS on any device
+        # op (observed 2026-08-18, >8 h outage) — fail fast with a clear
+        # error instead of wedging the harness
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jax.jit(lambda a: a + 1)"
+                 "(jnp.ones((8, 128)))[0, 0]))"],
+                timeout=args.probe_timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"ERROR: device unreachable (trivial jit did not complete "
+                f"in {args.probe_timeout}s — tunnel down?)",
+                file=sys.stderr,
+            )
+            return 2
+        except subprocess.CalledProcessError as e:
+            print(f"ERROR: device probe failed: {e}", file=sys.stderr)
+            return 2
 
     import jax
 
@@ -187,4 +217,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    _sys.exit(main() or 0)
