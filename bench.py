@@ -50,6 +50,10 @@ def main() -> int:
                          "reductions (ops/pallas_seg)")
     ap.add_argument("--no-seg_pallas", dest="seg_pallas",
                     action="store_false")
+    ap.add_argument("--fused_opt", action="store_true", default=False,
+                    help="flattened-vector AdamW (train/optim.fused_adamw)")
+    ap.add_argument("--param_bf16", action="store_true", default=None,
+                    help="bf16 weight banks at apply time, f32 masters")
     ap.add_argument("--softmax_pallas", action="store_true", default=None,
                     help="fused online-softmax Pallas kernel (experimental)")
     ap.add_argument("--no-probe", dest="probe", action="store_false",
@@ -99,6 +103,8 @@ def main() -> int:
         overrides["seg_pallas"] = args.seg_pallas
     if args.softmax_pallas is not None:
         overrides["softmax_pallas"] = args.softmax_pallas
+    if args.param_bf16 is not None:
+        overrides["param_bf16"] = args.param_bf16
     if args.gp > 1 and args.dp > 1:
         ap.error("--gp and --dp compose via the engine (cfg.dp x cfg.gp); "
                  "bench measures one mode at a time")
@@ -110,7 +116,7 @@ def main() -> int:
     params = fl.init_params(jax.random.key(0), batch, se)
     tx = make_optimizer(
         cosine_schedule(1e-3, 1000), weight_decay=0.01, clip_norm=0.25,
-        params=params,
+        params=params, fused=args.fused_opt,
     )
     state = TrainState.create(params, tx)
     rng = jax.random.key(1)

@@ -36,14 +36,14 @@ def main() -> int:
 
     results = {}
 
-    def measure(tag, weighted, **overrides):
+    def measure(tag, weighted, fused_opt=False, **overrides):
         sh.WEIGHTED_KERNEL = weighted
         fl = build_flagship("bench", **overrides)
         batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
         se = fl.sort(batch)
         params = fl.init_params(jax.random.key(0), batch, se)
         tx = make_optimizer(cosine_schedule(1e-3, 1000), weight_decay=0.01,
-                            clip_norm=0.25, params=params)
+                            clip_norm=0.25, params=params, fused=fused_opt)
         state = TrainState.create(params, tx)
         step = make_train_step(fl.loss_fn_single(), tx)
         bargs = tuple(jax.device_put(np.asarray(a))
@@ -74,8 +74,15 @@ def main() -> int:
             edge_bwd="src_direct")
     measure("softmax_pallas (weighted best)", best_weighted,
             softmax_pallas=True)
+    measure("fused adamw (weighted best)", best_weighted, fused_opt=True)
+    measure("param_bf16 (weighted best)", best_weighted, param_bf16=True)
     print("RESULTS", results, flush=True)
     print("verdict: flip WEIGHTED_KERNEL ->", best_weighted, flush=True)
+    print("verdict: fused_opt saves",
+          round(results["baseline (weighted off)"]
+                - results["fused adamw (weighted best)"], 1),
+          "ms vs weighted-off baseline (compare against the weighted "
+          "verdict's best to isolate the optimizer)", flush=True)
     return 0
 
 

@@ -42,6 +42,8 @@ class ExperimentConfig:
                                        # kernel for wide [E, D] reductions
     softmax_pallas: bool = False       # fused online-softmax kernel
                                        # (experimental, see PERF_NOTES)
+    param_bf16: bool = False           # bf16 weight banks at apply time,
+                                       # f32 masters (optim.bf16_param_cast)
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)
@@ -54,6 +56,8 @@ class ExperimentConfig:
 
     # -- optimization -----------------------------------------------------
     optimizer: str = "adamw"           # --optimizer (:42-44)
+    fused_opt: bool = False            # flattened-vector AdamW (same math,
+                                       # one wide kernel chain; train/optim)
     scheduler: str = "cosine"          # cosine (OAG) | onecycle (ogbn :128)
     max_lr: float = 1e-3               # onecycle peak 5e-4 on ogbn (:128)
     n_epoch: int = 200                 # --n_epoch (:23-24)

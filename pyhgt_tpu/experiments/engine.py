@@ -140,7 +140,7 @@ def make_tx(cfg: ExperimentConfig, params, steps_per_epoch: int):
         sched = cosine_schedule(cfg.max_lr, period=1000)
     return make_optimizer(
         sched, weight_decay=cfg.weight_decay, clip_norm=cfg.clip,
-        params=params, name=cfg.optimizer,
+        params=params, name=cfg.optimizer, fused=cfg.fused_opt,
     )
 
 
@@ -239,6 +239,13 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
     Returns ``(step, loader_kwargs, state, mesh)``; pass loader_kwargs to
     PrefetchLoader so it stacks+shards dp subgraphs per yielded item.
     """
+    if cfg.param_bf16:
+        # bf16 weight banks at apply time, f32 masters in the state — the
+        # cast is differentiable so grads and the optimizer stay f32
+        from pyhgt_tpu.train.optim import bf16_param_cast
+
+        inner = loss_fn
+        loss_fn = lambda params, *a, **k: inner(bf16_param_cast(params), *a, **k)
     dp, tp, gp = max(cfg.dp, 1), max(cfg.tp, 1), max(cfg.gp, 1)
     if dp == 1 and tp == 1 and gp == 1:
         return make_train_step(loss_fn, tx), {}, state, None

@@ -65,6 +65,8 @@ class FlagshipConfig:
     # full-step regression — see PERF_NOTES round 2)
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
     graph_axis: str = ""       # mesh axis name for edge-partitioned runs
+    param_bf16: bool = False   # bf16 weight banks at apply time, f32
+    # masters in the train state (train/optim.bf16_param_cast)
 
 
 PRESETS: Dict[str, FlagshipConfig] = {
@@ -188,7 +190,13 @@ class Flagship:
         model = self.model
         from pyhgt_tpu.parallel.edge_partition import PartitionedEdges
 
+        param_bf16 = self.cfg.param_bf16
+
         def loss(params, rng, nf, es, et, dt, emk, nmk, se, labels):
+            if param_bf16:
+                from pyhgt_tpu.train.optim import bf16_param_cast
+
+                params = bf16_param_cast(params)
             kw = {"pe": se} if isinstance(se, PartitionedEdges) else {"se": se}
             logp = model.apply(
                 params, nf, es, et, dt, emk, nmk, em,

@@ -16,7 +16,9 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 # Parameter-name suffixes excluded from weight decay, mirroring the
 # reference's ['bias', 'LayerNorm.weight'] no-decay group plus our
@@ -88,12 +90,98 @@ def onecycle_schedule(
     return schedule
 
 
+def bf16_param_cast(params):
+    """Compute-dtype view of the parameter tree: weight banks in bf16,
+    numerics-sensitive leaves (biases, norms, gates, priors — the
+    NO_DECAY_KEYS set) kept f32. Masters stay f32 in the train state; the
+    cast is differentiable, so grads arrive back in f32. Used by the
+    ``param_bf16`` knob (halves parameter HBM reads per fwd+bwd; measure
+    on-chip, keep only if it wins)."""
+    import jax.numpy as jnp
+
+    mask = _decay_mask(params)
+    return jax.tree.map(
+        lambda m, p: p.astype(jnp.bfloat16) if m else p, mask, params
+    )
+
+
+def fused_adamw(
+    schedule,
+    params,
+    weight_decay: float = 0.01,
+    clip_norm: Optional[float] = 0.25,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+):
+    """Flattened-vector AdamW + global-norm clip, exactly matching
+    ``chain(clip_by_global_norm, adamw(mask=_decay_mask))``.
+
+    The per-tensor optax chain emits ~6 tiny fused kernels per parameter
+    leaf; at 20.7M params spread over hundreds of banks the optimizer
+    measured ~8.5 ms/step — pure many-small-tensor overhead
+    (docs/PERF_NOTES.md, probe6 step decomposition). Here grads are
+    raveled once into a single [N] vector, the clip norm / moments /
+    decoupled weight decay run as a handful of wide vector ops (the decay
+    mask is a precomputed 0/1 [N] constant), and the update is unraveled
+    back to the pytree. HBM traffic is ~7 passes over 83 MB ≈ 1 ms at
+    bandwidth; everything else fuses.
+
+    Requires a homogeneous-dtype f32 params tree (ours is); raises
+    otherwise so callers fall back to the per-tensor chain.
+    """
+    flat, _ = ravel_pytree(params)
+    if flat.dtype != jnp.float32:
+        raise TypeError(
+            f"fused_adamw needs an all-f32 params tree, got {flat.dtype}"
+        )
+    mask_tree = _decay_mask(params)
+    mask_vec, _ = ravel_pytree(
+        jax.tree.map(
+            lambda m, p: jnp.full(jnp.shape(p), float(m), jnp.float32),
+            mask_tree,
+            params,
+        )
+    )
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        # mu/nu must be DISTINCT buffers: train steps donate the state, and
+        # aliased leaves trip "donate the same buffer twice" in Execute()
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jnp.zeros_like(flat),
+            "nu": jnp.zeros_like(flat),
+        }
+
+    def update(grads, state, params):
+        g, unravel = ravel_pytree(grads)
+        p, _ = ravel_pytree(params)
+        if clip_norm is not None:
+            gnorm = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-16))
+        count = state["count"] + 1
+        mu = b1 * state["mu"] + (1.0 - b1) * g
+        nu = b2 * state["nu"] + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1**c)
+        nu_hat = nu / (1.0 - b2**c)
+        lr = schedule(state["count"]) if callable(schedule) else schedule
+        upd = -lr * (
+            mu_hat / (jnp.sqrt(nu_hat) + eps) + weight_decay * mask_vec * p
+        )
+        return unravel(upd), {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     schedule,
     weight_decay: float = 0.01,
     clip_norm: Optional[float] = 0.25,
     params=None,
     name: str = "adamw",
+    fused: bool = False,
 ):
     """Optimizer factory + global-norm clip.
 
@@ -102,8 +190,19 @@ def make_optimizer(
     for biases/norms/gates), adam, sgd (the reference pins lr=0.1 and
     ignores the scheduler's base — we keep the schedule but that quirk is
     documented), adagrad. ``params`` (a pytree template) enables the
-    adamw decay mask; without it decay applies everywhere.
+    adamw decay mask; without it decay applies everywhere. ``fused``
+    selects the flattened-vector AdamW (same math, one wide kernel chain
+    instead of hundreds of tiny ones — see :func:`fused_adamw`); it
+    silently falls back to the per-tensor chain when preconditions fail.
     """
+    if name == "adamw" and fused and params is not None:
+        try:
+            return fused_adamw(
+                schedule, params, weight_decay=weight_decay,
+                clip_norm=clip_norm,
+            )
+        except TypeError:
+            pass
     if name == "adamw":
         mask = _decay_mask(params) if params is not None else None
         tx = optax.adamw(

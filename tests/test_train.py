@@ -151,6 +151,111 @@ def test_optimizer_unknown_raises():
         make_optimizer(1e-2, name="lamb")
 
 
+def test_fused_adamw_matches_per_tensor_chain():
+    """fused=True (single flattened-vector kernel chain) is the same math
+    as chain(clip_by_global_norm, adamw(mask)) — step-for-step parity over
+    a schedule, with the clip active on some steps and biases excluded
+    from decay."""
+    from pyhgt_tpu.train.optim import cosine_schedule
+
+    rng = np.random.default_rng(0)
+    params = {
+        "layer": {
+            "wq": jnp.asarray(rng.normal(size=(16, 8)), jnp.float32),
+            "bq": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+            "skip": jnp.asarray(rng.normal(size=(3,)), jnp.float32),
+        },
+        "head": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+    }
+    sched = cosine_schedule(1e-2, 50)
+    kw = dict(weight_decay=0.05, clip_norm=0.1, params=params)
+    tx_ref = make_optimizer(sched, **kw)
+    tx_fused = make_optimizer(sched, fused=True, **kw)
+
+    def loss_fn(p, rng_key):
+        return (
+            jnp.sum(jnp.tanh(p["layer"]["wq"]) ** 2)
+            + 50.0 * jnp.sum(p["layer"]["bq"] ** 2)  # big grads: clip fires
+            + jnp.sum(p["layer"]["skip"] ** 2)
+            + jnp.sum(p["head"] ** 2)
+        )
+
+    s_ref = TrainState.create(params, tx_ref)
+    s_fused = TrainState.create(params, tx_fused)
+    step_ref = make_train_step(loss_fn, tx_ref, donate=False)
+    step_fused = make_train_step(loss_fn, tx_fused, donate=False)
+    key = jax.random.key(0)
+    for i in range(7):
+        s_ref, l_ref = step_ref(s_ref, key)
+        s_fused, l_fused = step_fused(s_fused, key)
+        for a, b in zip(
+            jax.tree.leaves(s_ref.params), jax.tree.leaves(s_fused.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7
+            )
+    np.testing.assert_allclose(float(l_ref), float(l_fused), rtol=1e-5)
+
+
+def test_fused_adamw_donated_step():
+    """The fused state's mu/nu must be distinct buffers: the production
+    train step donates the whole state, and aliased leaves fail with
+    'donate the same buffer twice' (caught live on the CLI drive)."""
+    params = {"w": jnp.ones((8, 8))}
+    tx = make_optimizer(1e-2, params=params, fused=True)
+    state = TrainState.create(params, tx)
+    step = make_train_step(lambda p, r: jnp.sum(p["w"] ** 2), tx, donate=True)
+    for i in range(2):
+        state, loss = step(state, jax.random.key(i))
+    assert np.isfinite(float(loss))
+
+
+def test_param_bf16_masters_stay_f32():
+    """param_bf16: weight banks cast to bf16 at apply time, f32 masters in
+    the state; grads arrive f32, the loss stays within bf16 tolerance of
+    the f32 path, and norm/bias/gate leaves are exempt from the cast."""
+    from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
+    from pyhgt_tpu.train.optim import bf16_param_cast
+
+    losses = {}
+    for pb in (False, True):
+        fl = build_flagship("tiny", param_bf16=pb)
+        batch, labels = synth_flagship_batch(fl, seed=0)
+        se = fl.sort(batch)
+        params = fl.init_params(jax.random.key(0), batch, se)
+        loss_fn = fl.loss_fn_single()
+        args = tuple(np.asarray(a) for a in fl.batch_args(batch))
+        l, g = jax.value_and_grad(loss_fn)(
+            params, jax.random.key(1), *args, se, np.asarray(labels)
+        )
+        assert all(
+            x.dtype == jnp.float32 and np.isfinite(np.asarray(x)).all()
+            for x in jax.tree.leaves(g)
+        )
+        losses[pb] = float(l)
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-2)
+
+    # the cast itself: banks -> bf16, no-decay leaves untouched
+    p = {"layer": {"wq": jnp.ones((4, 4)), "bq": jnp.ones(4),
+                   "ln_scale": jnp.ones(4)}}
+    c = bf16_param_cast(p)
+    assert c["layer"]["wq"].dtype == jnp.bfloat16
+    assert c["layer"]["bq"].dtype == jnp.float32
+    assert c["layer"]["ln_scale"].dtype == jnp.float32
+
+
+def test_fused_adamw_rejects_non_f32():
+    from pyhgt_tpu.train.optim import fused_adamw
+
+    with pytest.raises(TypeError, match="all-f32"):
+        fused_adamw(1e-2, {"w": jnp.ones((2,), jnp.bfloat16)})
+    # make_optimizer falls back to the per-tensor chain instead
+    tx = make_optimizer(
+        1e-2, params={"w": jnp.ones((2,), jnp.bfloat16)}, fused=True
+    )
+    assert tx is not None
+
+
 # ----------------------------------------------------------------- train step
 def test_train_step_converges_linear_regression(rng):
     w_true = rng.normal(size=(8, 1)).astype(np.float32)
