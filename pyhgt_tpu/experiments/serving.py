@@ -335,15 +335,148 @@ class LinkPredictor:
         return np.concatenate(vals_out), np.concatenate(cand_out)
 
 
+def _answer_node_batch(predictor, reqs):
+    """Answer a list of parsed node-classification requests with ONE
+    predict_logprobs call per distinct vr_num (request coalescing: the
+    subgraph sampler + forward amortize across concurrent requests —
+    predict_logprobs already dedupes node ids and chunks by batch_size).
+    Returns responses in request order."""
+    import collections
+
+    resp = [None] * len(reqs)
+    groups = collections.defaultdict(list)
+    for i, req in enumerate(reqs):
+        try:
+            nodes = [int(v) for v in req["nodes"]]
+            groups[req.get("vr_num")].append((i, nodes))
+        except Exception as e:  # malformed request: answer, don't die
+            resp[i] = {"error": repr(e)}
+    for vr, members in groups.items():
+        flat = [v for _, nodes in members for v in nodes]
+        try:
+            lp = predictor.predict_logprobs(flat, vr_num=vr)
+            pos = 0
+            for i, nodes in members:
+                rows = lp[pos : pos + len(nodes)]
+                pos += len(nodes)
+                resp[i] = {
+                    "nodes": nodes,
+                    "pred": np.argmax(rows, axis=-1).tolist(),
+                    "logp": np.round(rows, 6).tolist(),
+                }
+        except Exception as e:
+            for i, _ in members:
+                resp[i] = {"error": repr(e)}
+    return resp
+
+
 def serve_jsonl(
     predictor: OgbnPredictor,
     stdin=None,
     stdout=None,
     log: Callable[[str], None] = print,
+    coalesce_wait: float = 0.0,
 ) -> int:
     """JSON-lines serving loop: each request line
     ``{"nodes": [...], "vr_num": k?}`` answers with
-    ``{"nodes": [...], "pred": [...], "logp": [[...]]}``."""
+    ``{"nodes": [...], "pred": [...], "logp": [[...]]}``.
+
+    ``coalesce_wait > 0`` turns on micro-batching: after the first
+    pending request arrives, wait up to that many seconds for more lines,
+    then answer the whole burst with one coalesced model call per
+    distinct ``vr_num`` (responses stay in request order). The classic
+    serving-batcher trade: +wait latency on the first request of a burst,
+    ~burst-size× throughput under concurrency."""
+    import json
+    import queue
+    import sys
+    import threading
+
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    n = 0
+
+    def emit(resp):
+        nonlocal n
+        stdout.write(json.dumps(resp) + "\n")
+        stdout.flush()
+        n += 1
+
+    def parse(line):
+        try:
+            return json.loads(line)
+        except Exception as e:
+            return {"__parse_error__": repr(e)}
+
+    if coalesce_wait <= 0:
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            req = parse(line)
+            if "__parse_error__" in req:
+                emit({"error": req["__parse_error__"]})
+            else:
+                emit(_answer_node_batch(predictor, [req])[0])
+        log(f"served {n} requests")
+        return n
+
+    q: "queue.Queue" = queue.Queue()
+    _EOF = object()
+
+    def reader():
+        for line in stdin:
+            line = line.strip()
+            if line:
+                q.put(line)
+        q.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True).start()
+    done = False
+    while not done:
+        first = q.get()
+        if first is _EOF:
+            break
+        import time
+
+        time.sleep(coalesce_wait)  # let the burst accumulate
+        burst = [first]
+        while True:
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                break
+            if item is _EOF:
+                done = True
+                break
+            burst.append(item)
+        reqs, order = [], []
+        for line in burst:
+            req = parse(line)
+            if "__parse_error__" in req:
+                order.append({"error": req["__parse_error__"]})
+            else:
+                order.append(len(reqs))
+                reqs.append(req)
+        answers = _answer_node_batch(predictor, reqs)
+        for slot in order:
+            emit(slot if isinstance(slot, dict) else answers[slot])
+    log(f"served {n} requests")
+    return n
+
+
+def serve_link_jsonl(
+    predictor: "LinkPredictor",
+    stdin=None,
+    stdout=None,
+    log: Callable[[str], None] = print,
+) -> int:
+    """JSON-lines top-k serving on a :class:`LinkPredictor`: each line
+    ``{"papers": [...], "k": 10?, "times": [...]?}`` answers with
+    ``{"papers": [...], "authors": [[...k ids]], "scores": [[...k]]}``.
+    A line ``{"index_authors": [...]}`` (re)builds the candidate index
+    online (versioned, :meth:`LinkPredictor.build_author_index`) and
+    answers ``{"indexed": n, "version": v}``."""
     import json
     import sys
 
@@ -356,13 +489,24 @@ def serve_jsonl(
             continue
         try:
             req = json.loads(line)
-            nodes = req["nodes"]
-            lp = predictor.predict_logprobs(nodes, vr_num=req.get("vr_num"))
-            resp = {
-                "nodes": list(map(int, nodes)),
-                "pred": np.argmax(lp, axis=-1).tolist(),
-                "logp": np.round(lp, 6).tolist(),
-            }
+            if "index_authors" in req:
+                ids = [int(v) for v in req["index_authors"]]
+                predictor.build_author_index(ids)
+                resp = {
+                    "indexed": len(ids),
+                    "version": predictor.index.params_version,
+                }
+            else:
+                papers = [int(v) for v in req["papers"]]
+                vals, cand = predictor.topk(
+                    papers, k=int(req.get("k", 10)),
+                    times=req.get("times"),
+                )
+                resp = {
+                    "papers": papers,
+                    "authors": cand.tolist(),
+                    "scores": np.round(vals, 6).tolist(),
+                }
         except Exception as e:  # malformed request: answer, don't die
             resp = {"error": repr(e)}
         stdout.write(json.dumps(resp) + "\n")

@@ -30,9 +30,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="label meta-relation as 'tgt_type,src_type,rel' "
                         "(defaults: field,paper,PF_in_L2 for paper_field; "
                         "venue,paper,PV_Journal for paper_venue)")
+    p.add_argument("--serve_task", default="node", choices=["node", "link"],
+                   help="serve mode: node = classification over sampled "
+                        "subgraphs; link = two-tower matcher top-k "
+                        "(offline author index + online paper queries)")
+    p.add_argument("--coalesce_wait", type=float, default=0.0,
+                   help="node-serve micro-batching: wait this many seconds "
+                        "after the first pending request, then answer the "
+                        "burst with one coalesced model call")
+    p.add_argument("--index_authors", type=int, default=0,
+                   help="link-serve: pre-build the candidate index over the "
+                        "first N grouped authors (0 = all); clients can "
+                        "rebuild online with an index_authors request line")
     p.add_argument("--data", dest="data_path", required=True,
                    help="CSRGraph pickle, a save_dir directory "
                         "(mmap-loaded), or a reference .pk (auto-converted)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (the TPU plugin ignores the "
+                        "JAX_PLATFORMS env var — this sets the config flag "
+                        "before any device op, so --platform cpu works for "
+                        "smoke runs even when the TPU link is down)")
     ref = ExperimentConfig()
     for f in dataclasses.fields(ExperimentConfig):
         if f.name in ("data_path", "task_name"):
@@ -71,6 +88,10 @@ def load_graph(path: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = PRESETS[
         "ogbn_mag" if args.task in ("eval_ogbn_mag", "serve") else args.task
     ]
@@ -124,7 +145,12 @@ def main(argv=None) -> int:
             raise SystemExit("--ckpt required for eval_ogbn_mag")
         evaluate_ogbn(cfg, graph, args.ckpt, eval_mode=args.eval_mode)
     elif args.task == "serve":
-        from pyhgt_tpu.experiments.serving import OgbnPredictor, serve_jsonl
+        from pyhgt_tpu.experiments.serving import (
+            LinkPredictor,
+            OgbnPredictor,
+            serve_jsonl,
+            serve_link_jsonl,
+        )
 
         if not args.ckpt:
             raise SystemExit("--ckpt required for serve")
@@ -132,7 +158,21 @@ def main(argv=None) -> int:
         # (sampler fallbacks, calibration, the served-count summary) to
         # stderr so clients can json.loads each stdout line
         err = lambda s: print(s, file=sys.stderr)
-        serve_jsonl(OgbnPredictor(cfg, graph, args.ckpt, log=err), log=err)
+        if args.serve_task == "link":
+            lp = LinkPredictor(cfg, graph, args.ckpt, log=err)
+            authors = sorted(
+                a for g in lp.task.groups.values() for a in g
+            )
+            if args.index_authors > 0:
+                authors = authors[: args.index_authors]
+            err(f"indexing {len(authors)} candidate authors")
+            lp.build_author_index(authors)
+            serve_link_jsonl(lp, log=err)
+        else:
+            serve_jsonl(
+                OgbnPredictor(cfg, graph, args.ckpt, log=err),
+                log=err, coalesce_wait=args.coalesce_wait,
+            )
     return 0
 
 

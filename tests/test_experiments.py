@@ -130,6 +130,35 @@ def test_serving_predictor_and_jsonl(toy_env, tmp_path):
     assert all(0 <= p < pred.n_classes for p in lines[0]["pred"])
     assert "error" in lines[1]
 
+    # coalesced mode: a burst of requests answers with ONE model call per
+    # distinct vr_num, responses in request order
+    calls = []
+    orig = pred.predict_logprobs
+    pred.predict_logprobs = lambda nodes, vr_num=None, rng=None: (
+        calls.append(list(nodes)) or orig(nodes, vr_num=vr_num, rng=rng)
+    )
+    out2 = io.StringIO()
+    served2 = serve_jsonl(
+        pred,
+        stdin=io.StringIO(
+            '{"nodes": [3], "vr_num": 1}\n{"nodes": [17, 42], "vr_num": 1}\n'
+            "bad json\n"
+        ),
+        stdout=out2,
+        log=lambda s: None,
+        coalesce_wait=0.5,
+    )
+    pred.predict_logprobs = orig
+    assert served2 == 3
+    lines2 = [json.loads(l) for l in out2.getvalue().splitlines()]
+    assert lines2[0]["nodes"] == [3]
+    assert lines2[1]["nodes"] == [17, 42]
+    assert "error" in lines2[2]
+    # the burst coalesced into a single predict call over all nodes
+    assert calls == [[3, 17, 42]]
+    assert all(0 <= p < pred.n_classes
+               for l in lines2[:2] for p in l["pred"])
+
 
 def test_link_serving_predictor(toy_env, tmp_path):
     """Two-tower serving on a trained author-disambiguation checkpoint:
@@ -170,6 +199,35 @@ def test_link_serving_predictor(toy_env, tmp_path):
     # k larger than the candidate set clamps
     vals2, ids2 = pred.topk([0], k=100)
     assert ids2.shape == (1, len(authors))
+
+    # JSON-lines link serving on the same predictor: top-k queries plus
+    # online index rebuild
+    import io
+    import json
+
+    from pyhgt_tpu.experiments.serving import serve_link_jsonl
+
+    out = io.StringIO()
+    served = serve_link_jsonl(
+        pred,
+        stdin=io.StringIO(
+            '{"papers": [0, 5], "k": 3}\n'
+            '{"index_authors": [0, 1, 2, 3, 4]}\n'
+            '{"papers": [5], "k": 2}\n'
+            "oops\n"
+        ),
+        stdout=out,
+        log=lambda s: None,
+    )
+    assert served == 4
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[0]["papers"] == [0, 5]
+    assert len(lines[0]["authors"][0]) == 3
+    assert lines[1]["indexed"] == 5
+    assert lines[1]["version"] == v0 + 2
+    # post-rebuild answers draw only from the new candidate set
+    assert set(lines[2]["authors"][0]) <= {0, 1, 2, 3, 4}
+    assert "error" in lines[3]
 
 
 def test_run_node_classification_dp(toy_env, tmp_path):
@@ -265,6 +323,13 @@ def test_cli_parser():
                       "--dp", "2", "--tp", "2", "--gp", "4"])
     assert a.task == "serve" and a.ckpt == "/tmp/c"
     assert (a.dp, a.tp, a.gp) == (2, 2, 4)
+    a = p.parse_args(["serve", "--data", "/tmp/x.pk", "--ckpt", "/tmp/c",
+                      "--serve_task", "link", "--index_authors", "100",
+                      "--coalesce_wait", "0.05", "--platform", "cpu",
+                      "--fused_opt"])
+    assert a.serve_task == "link" and a.index_authors == 100
+    assert a.coalesce_wait == 0.05 and a.platform == "cpu"
+    assert a.fused_opt is True
 
 
 def test_evaluate_ogbn_from_checkpoint(toy_env, tmp_path):
@@ -295,7 +360,11 @@ def test_bench_contract_tiny(monkeypatch, capsys):
 
     monkeypatch.setattr(
         sys, "argv",
-        ["bench.py", "--preset", "dryrun", "--steps", "1", "--warmup", "1"],
+        # --no-probe: the contract test runs on the conftest CPU platform;
+        # the reachability probe targets the real chip and must not make
+        # this test depend on the tunnel being up
+        ["bench.py", "--preset", "dryrun", "--steps", "1", "--warmup", "1",
+         "--no-probe"],
     )
     bench.main()
     out = [l for l in capsys.readouterr().out.strip().splitlines() if l]
