@@ -351,23 +351,61 @@ def _answer_node_batch(predictor, reqs):
             groups[req.get("vr_num")].append((i, nodes))
         except Exception as e:  # malformed request: answer, don't die
             resp[i] = {"error": repr(e)}
-    for vr, members in groups.items():
+    def answer_members(members, vr):
         flat = [v for _, nodes in members for v in nodes]
+        lp = predictor.predict_logprobs(flat, vr_num=vr)
+        pos = 0
+        for i, nodes in members:
+            rows = lp[pos : pos + len(nodes)]
+            pos += len(nodes)
+            resp[i] = {
+                "nodes": nodes,
+                "pred": np.argmax(rows, axis=-1).tolist(),
+                "logp": np.round(rows, 6).tolist(),
+            }
+
+    for vr, members in groups.items():
         try:
-            lp = predictor.predict_logprobs(flat, vr_num=vr)
-            pos = 0
-            for i, nodes in members:
-                rows = lp[pos : pos + len(nodes)]
-                pos += len(nodes)
-                resp[i] = {
-                    "nodes": nodes,
-                    "pred": np.argmax(rows, axis=-1).tolist(),
-                    "logp": np.round(rows, 6).tolist(),
-                }
+            answer_members(members, vr)
         except Exception as e:
-            for i, _ in members:
-                resp[i] = {"error": repr(e)}
+            # per-request isolation: one poison request (e.g. an
+            # out-of-range node id) must not fail the whole burst — retry
+            # members individually so only the bad one errors
+            if len(members) == 1:
+                resp[members[0][0]] = {"error": repr(e)}
+                continue
+            for member in members:
+                try:
+                    answer_members([member], vr)
+                except Exception as e1:
+                    resp[member[0]] = {"error": repr(e1)}
     return resp
+
+
+def _serve_loop(stdin, stdout, log, answer) -> int:
+    """Shared JSON-lines transport: strip / skip blank / parse / answer /
+    emit+flush / count. ``answer(req) -> resp dict`` supplies the task
+    semantics; parse failures and answer exceptions both come back as an
+    ``{"error": ...}`` envelope so clients can json.loads every line."""
+    import json
+    import sys
+
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    n = 0
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            resp = answer(json.loads(line))
+        except Exception as e:  # malformed request: answer, don't die
+            resp = {"error": repr(e)}
+        stdout.write(json.dumps(resp) + "\n")
+        stdout.flush()
+        n += 1
+    log(f"served {n} requests")
+    return n
 
 
 def serve_jsonl(
@@ -384,13 +422,21 @@ def serve_jsonl(
     ``coalesce_wait > 0`` turns on micro-batching: after the first
     pending request arrives, wait up to that many seconds for more lines,
     then answer the whole burst with one coalesced model call per
-    distinct ``vr_num`` (responses stay in request order). The classic
+    distinct ``vr_num`` (responses stay in request order; a failing
+    request is retried solo so it only errors itself). The classic
     serving-batcher trade: +wait latency on the first request of a burst,
     ~burst-size× throughput under concurrency."""
     import json
     import queue
     import sys
     import threading
+    import time
+
+    if coalesce_wait <= 0:
+        return _serve_loop(
+            stdin, stdout, log,
+            lambda req: _answer_node_batch(predictor, [req])[0],
+        )
 
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
@@ -408,28 +454,22 @@ def serve_jsonl(
         except Exception as e:
             return {"__parse_error__": repr(e)}
 
-    if coalesce_wait <= 0:
-        for line in stdin:
-            line = line.strip()
-            if not line:
-                continue
-            req = parse(line)
-            if "__parse_error__" in req:
-                emit({"error": req["__parse_error__"]})
-            else:
-                emit(_answer_node_batch(predictor, [req])[0])
-        log(f"served {n} requests")
-        return n
-
     q: "queue.Queue" = queue.Queue()
     _EOF = object()
 
     def reader():
-        for line in stdin:
-            line = line.strip()
-            if line:
-                q.put(line)
-        q.put(_EOF)
+        # the finally is load-bearing: if stdin raises mid-iteration
+        # (broken pipe, decode error) the sentinel must still arrive or
+        # the main loop blocks in q.get() forever with no diagnostic
+        try:
+            for line in stdin:
+                line = line.strip()
+                if line:
+                    q.put(line)
+        except Exception as e:
+            log(f"serve reader failed: {e!r}")
+        finally:
+            q.put(_EOF)
 
     threading.Thread(target=reader, daemon=True).start()
     done = False
@@ -437,8 +477,6 @@ def serve_jsonl(
         first = q.get()
         if first is _EOF:
             break
-        import time
-
         time.sleep(coalesce_wait)  # let the burst accumulate
         burst = [first]
         while True:
@@ -477,40 +515,23 @@ def serve_link_jsonl(
     A line ``{"index_authors": [...]}`` (re)builds the candidate index
     online (versioned, :meth:`LinkPredictor.build_author_index`) and
     answers ``{"indexed": n, "version": v}``."""
-    import json
-    import sys
 
-    stdin = stdin or sys.stdin
-    stdout = stdout or sys.stdout
-    n = 0
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-            if "index_authors" in req:
-                ids = [int(v) for v in req["index_authors"]]
-                predictor.build_author_index(ids)
-                resp = {
-                    "indexed": len(ids),
-                    "version": predictor.index.params_version,
-                }
-            else:
-                papers = [int(v) for v in req["papers"]]
-                vals, cand = predictor.topk(
-                    papers, k=int(req.get("k", 10)),
-                    times=req.get("times"),
-                )
-                resp = {
-                    "papers": papers,
-                    "authors": cand.tolist(),
-                    "scores": np.round(vals, 6).tolist(),
-                }
-        except Exception as e:  # malformed request: answer, don't die
-            resp = {"error": repr(e)}
-        stdout.write(json.dumps(resp) + "\n")
-        stdout.flush()
-        n += 1
-    log(f"served {n} requests")
-    return n
+    def answer(req):
+        if "index_authors" in req:
+            ids = [int(v) for v in req["index_authors"]]
+            predictor.build_author_index(ids)
+            return {
+                "indexed": len(ids),
+                "version": predictor.index.params_version,
+            }
+        papers = [int(v) for v in req["papers"]]
+        vals, cand = predictor.topk(
+            papers, k=int(req.get("k", 10)), times=req.get("times"),
+        )
+        return {
+            "papers": papers,
+            "authors": cand.tolist(),
+            "scores": np.round(vals, 6).tolist(),
+        }
+
+    return _serve_loop(stdin, stdout, log, answer)

@@ -215,6 +215,7 @@ class Flagship:
         """
         em = self.em
         model = self.model
+        param_bf16 = self.cfg.param_bf16
 
         def per_graph(params, rng, nf, es, et, dt, emk, nmk, se, labels):
             logp = model.apply(
@@ -224,6 +225,10 @@ class Flagship:
             return nll_loss(logp, labels)
 
         def loss(params, rng, nf, es, et, dt, emk, nmk, se, labels):
+            if param_bf16:
+                from pyhgt_tpu.train.optim import bf16_param_cast
+
+                params = bf16_param_cast(params)
             rngs = jax.random.split(rng, nf.shape[0])
             losses = jax.vmap(
                 per_graph, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0)

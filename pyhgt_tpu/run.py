@@ -92,9 +92,18 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    cfg = PRESETS[
-        "ogbn_mag" if args.task in ("eval_ogbn_mag", "serve") else args.task
-    ]
+    if args.task == "eval_ogbn_mag":
+        preset = "ogbn_mag"
+    elif args.task == "serve":
+        # the predictor rebuilds the TRAINING model/state template before
+        # restoring the checkpoint, so the preset must match the task the
+        # checkpoint was trained on — link checkpoints come from
+        # author_disambiguation, node ones from ogbn_mag
+        preset = ("author_disambiguation" if args.serve_task == "link"
+                  else "ogbn_mag")
+    else:
+        preset = args.task
+    cfg = PRESETS[preset]
     overrides = {
         k: v for k, v in vars(args).items()
         if k not in ("task",) and v is not None

@@ -130,10 +130,16 @@ def fused_adamw(
     Requires a homogeneous-dtype f32 params tree (ours is); raises
     otherwise so callers fall back to the per-tensor chain.
     """
-    flat, _ = ravel_pytree(params)
-    if flat.dtype != jnp.float32:
+    # check per-leaf: ravel_pytree PROMOTES mixed trees to the result dtype,
+    # so a flat-vector dtype check misses e.g. {f32 weights, bf16 leaves}
+    bad = {
+        str(leaf.dtype)
+        for leaf in jax.tree.leaves(params)
+        if leaf.dtype != jnp.float32
+    }
+    if bad:
         raise TypeError(
-            f"fused_adamw needs an all-f32 params tree, got {flat.dtype}"
+            f"fused_adamw needs an all-f32 params tree, got {sorted(bad)}"
         )
     mask_tree = _decay_mask(params)
     mask_vec, _ = ravel_pytree(

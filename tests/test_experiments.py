@@ -159,6 +159,31 @@ def test_serving_predictor_and_jsonl(toy_env, tmp_path):
     assert all(0 <= p < pred.n_classes
                for l in lines2[:2] for p in l["pred"])
 
+    # per-request isolation in a coalesced burst: a poison request (the
+    # predictor raises on it) must only fail itself, not its groupmates
+    poison = pred.predict_logprobs
+
+    def maybe_raise(nodes, vr_num=None, rng=None):
+        if 10**9 in list(nodes):
+            raise ValueError("node out of range")
+        return poison(nodes, vr_num=vr_num, rng=rng)
+
+    pred.predict_logprobs = maybe_raise
+    out3 = io.StringIO()
+    serve_jsonl(
+        pred,
+        stdin=io.StringIO(
+            '{"nodes": [3]}\n{"nodes": [1000000000]}\n'
+        ),
+        stdout=out3,
+        log=lambda s: None,
+        coalesce_wait=0.5,
+    )
+    pred.predict_logprobs = poison
+    lines3 = [json.loads(l) for l in out3.getvalue().splitlines()]
+    assert lines3[0]["nodes"] == [3] and "pred" in lines3[0]
+    assert "error" in lines3[1]
+
 
 def test_link_serving_predictor(toy_env, tmp_path):
     """Two-tower serving on a trained author-disambiguation checkpoint:
