@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="link-serve: pre-build the candidate index over the "
                         "first N grouped authors (0 = all); clients can "
                         "rebuild online with an index_authors request line")
+    p.add_argument("--first_meta", default=None,
+                   help="link family: first-author meta-relation as "
+                        "'tgt,src,rel' (default author,paper,"
+                        "rev_AP_write_first — the OAG schema, "
+                        "train_author_disambiguation.py:79-86)")
+    p.add_argument("--write_meta", default=None,
+                   help="link family: authorship meta-relation as "
+                        "'tgt,src,rel' (default paper,author,AP_write_first)")
     p.add_argument("--data", dest="data_path", required=True,
                    help="CSRGraph pickle, a save_dir directory "
                         "(mmap-loaded), or a reference .pk (auto-converted)")
@@ -84,6 +92,17 @@ def load_graph(path: str):
         from pyhgt_tpu.datasets.convert import convert_reference_pickle
 
         return convert_reference_pickle(path)
+
+
+def _link_metas(args) -> dict:
+    """--first_meta/--write_meta 'tgt,src,rel' -> kwargs for the link
+    family (training runner + LinkPredictor), defaults omitted."""
+    out = {}
+    if args.first_meta:
+        out["first_meta"] = tuple(args.first_meta.split(","))
+    if args.write_meta:
+        out["write_meta"] = tuple(args.write_meta.split(","))
+    return out
 
 
 def main(argv=None) -> int:
@@ -144,7 +163,7 @@ def main(argv=None) -> int:
             multi_label=False, feature_fn=feat,
         )
     elif args.task == "author_disambiguation":
-        run_author_disambiguation(cfg, graph)
+        run_author_disambiguation(cfg, graph, **_link_metas(args))
     elif args.task == "ogbn_mag":
         run_ogbn(cfg, graph)
     elif args.task == "eval_ogbn_mag":
@@ -168,7 +187,8 @@ def main(argv=None) -> int:
         # stderr so clients can json.loads each stdout line
         err = lambda s: print(s, file=sys.stderr)
         if args.serve_task == "link":
-            lp = LinkPredictor(cfg, graph, args.ckpt, log=err)
+            lp = LinkPredictor(cfg, graph, args.ckpt, log=err,
+                               **_link_metas(args))
             authors = sorted(
                 a for g in lp.task.groups.values() for a in g
             )
