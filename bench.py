@@ -39,6 +39,12 @@ def main() -> int:
                     help="graph-axis (edge-partition) shards: ONE batch's "
                          "sorted edges split contiguously across devices, "
                          "boundary stats psum per layer (the SP analogue)")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline stages: the conv stack split over a "
+                         "'pipe' mesh, GPipe microbatch schedule "
+                         "(parallel/pipeline.py); needs n_layers %% pp == 0")
+    ap.add_argument("--pp_micro", type=int, default=0,
+                    help="pp microbatches per step (default 2*pp)")
     ap.add_argument("--edge_bf16", action="store_true", default=None,
                     help="mixed-precision per-edge stage (bf16 values, "
                          "f32 softmax/accumulation)")
@@ -105,9 +111,9 @@ def main() -> int:
         overrides["softmax_pallas"] = args.softmax_pallas
     if args.param_bf16 is not None:
         overrides["param_bf16"] = args.param_bf16
-    if args.gp > 1 and args.dp > 1:
-        ap.error("--gp and --dp compose via the engine (cfg.dp x cfg.gp); "
-                 "bench measures one mode at a time")
+    if sum(x > 1 for x in (args.dp, args.gp, args.pp)) > 1:
+        ap.error("--dp/--gp compose via the engine (cfg.dp x cfg.gp); "
+                 "bench measures one parallel mode at a time")
     if args.gp > 1:
         overrides["graph_axis"] = "graph"
     fl = build_flagship(args.preset, **overrides)
@@ -182,6 +188,49 @@ def main() -> int:
             jax.device_put(params, replicate(mesh)), tx
         )
         step = make_gp_train_step(fl.loss_fn_single(), tx, mesh)
+    elif args.pp > 1:
+        # pipeline mode: conv stack staged over 'pipe', GPipe microbatch
+        # schedule; throughput counts all microbatches against wall time
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pyhgt_tpu.parallel.pipeline import (
+            make_pipe_mesh,
+            make_pp_train_step,
+            pipeline_param_shardings,
+            stack_pipeline_params,
+        )
+        from pyhgt_tpu.train.optim import cosine_schedule as _cs
+
+        n_micro = args.pp_micro or 2 * args.pp
+        mesh = make_pipe_mesh(args.pp)
+        batches, ys, ses = [batch], [labels], [se]
+        for i in range(1, n_micro):
+            b, y_ = synth_flagship_batch(fl, seed=i, edge_fill=1.0)
+            batches.append(b)
+            ys.append(y_)
+            ses.append(fl.sort(b))
+        stack = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        pp_params = stack_pipeline_params(params, fl.cfg.n_layers, args.pp)
+        tx = make_optimizer(
+            _cs(1e-3, 1000), weight_decay=0.01, clip_norm=0.25,
+            params=pp_params, fused=args.fused_opt,
+        )
+        rep = NamedSharding(mesh, P())
+        state = TrainState.create(
+            jax.device_put(
+                pp_params, pipeline_param_shardings(pp_params, mesh)
+            ),
+            tx,
+        )
+        micro = tuple(jax.device_put(np.asarray(a), rep)
+                      for a in fl.batch_args(stack))
+        bargs = (micro,)
+        se_stack = jax.device_put(
+            jax.tree.map(lambda *xs: np.stack(xs), *ses), rep
+        )
+        y = jax.device_put(np.stack(ys), rep)
+        step = make_pp_train_step(fl, tx, mesh, n_micro=n_micro)
+        n_edges *= n_micro
     else:
         # unbatched step: vmap(1) turns edge gathers into batched gathers
         # and costs ~20% (measured 380 -> 304 ms)
@@ -204,7 +253,7 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / args.steps
 
     assert np.isfinite(lval), f"non-finite loss {lval}"
-    edges_per_s = n_edges * n_layers / dt / args.dp / args.gp
+    edges_per_s = n_edges * n_layers / dt / args.dp / args.gp / args.pp
     vs = edges_per_s / BASELINE_EDGES_PER_S if BASELINE_EDGES_PER_S else 1.0
     print(
         json.dumps(
@@ -214,7 +263,8 @@ def main() -> int:
                 "unit": f"edges/s/chip ({n_layers}-layer fwd+bwd+adamw, "
                         f"{n_edges} edges/batch, step {dt*1e3:.1f} ms"
                         + (f", dp={args.dp}" if args.dp > 1 else "")
-                        + (f", gp={args.gp}" if args.gp > 1 else "") + ")",
+                        + (f", gp={args.gp}" if args.gp > 1 else "")
+                        + (f", pp={args.pp}" if args.pp > 1 else "") + ")",
                 "vs_baseline": round(vs, 3),
             }
         ),

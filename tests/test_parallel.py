@@ -96,6 +96,135 @@ def test_dp_tp_train_step_matches(env):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+@pytest.fixture(scope="module")
+def pp_env():
+    """dropout=0 flagship + 3 microbatches for pipeline parity (dropout
+    masks cannot match between one full-stack apply and staged applies,
+    so parity is pinned at rate 0)."""
+    fl = build_flagship("dryrun", dropout=0.0)
+    batches, labels, ses = [], [], []
+    for i in range(3):
+        b, y = synth_flagship_batch(fl, seed=10 + i)
+        batches.append(b)
+        labels.append(y)
+        ses.append(fl.sort(b))
+    stack = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    se_stack = jax.tree.map(lambda *xs: np.stack(xs), *ses)
+    y = np.stack(labels)
+    params = fl.init_params(jax.random.key(0), batches[0], ses[0])
+    return fl, stack, se_stack, y, params
+
+
+def test_pipeline_param_roundtrip(pp_env):
+    from pyhgt_tpu.parallel.pipeline import (
+        stack_pipeline_params,
+        unstack_pipeline_params,
+    )
+
+    fl, _, _, _, params = pp_env
+    pp = stack_pipeline_params(params, fl.cfg.n_layers, 2)
+    back = unstack_pipeline_params(pp, fl.cfg.n_layers)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_loss_and_grads_match_sequential(pp_env):
+    """GPipe pipeline over a 2-stage 'pipe' mesh == mean of sequential
+    per-microbatch losses, values AND grads (SURVEY §4 item 4 pattern)."""
+    from pyhgt_tpu.parallel.pipeline import (
+        make_pipe_mesh,
+        make_pp_loss,
+        pipeline_param_shardings,
+        stack_pipeline_params,
+    )
+
+    fl, stack, se_stack, y, params = pp_env
+    loss_single = fl.loss_fn_single()
+    rng = jax.random.key(11)
+
+    def seq_loss(p):
+        losses = [
+            loss_single(
+                p, rng,
+                *[jax.tree.map(lambda a: a[m], x) for x in fl.batch_args(stack)],
+                jax.tree.map(lambda a: a[m], se_stack),
+                y[m],
+            )
+            for m in range(3)
+        ]
+        return sum(losses) / 3
+
+    expected = float(seq_loss(params))
+    g_seq = jax.grad(seq_loss)(params)
+    g_seq_pp = stack_pipeline_params(g_seq, fl.cfg.n_layers, 2)
+
+    mesh = make_pipe_mesh(2)
+    loss_fn = make_pp_loss(fl, 2, 3, mesh, deterministic=True)
+    pp = stack_pipeline_params(params, fl.cfg.n_layers, 2)
+    with mesh:
+        ppd = jax.device_put(pp, pipeline_param_shardings(pp, mesh))
+        rep = NamedSharding(mesh, P())
+        micro = tuple(
+            jax.device_put(np.asarray(a), rep) for a in fl.batch_args(stack)
+        )
+        se_d = jax.device_put(se_stack, rep)
+        yd = jax.device_put(y, rep)
+        rngd = jax.device_put(rng, rep)
+
+        def pp_loss(p):
+            return loss_fn(p["stages"], p["shared"], rngd, micro, se_d, yd)
+
+        got = float(jax.jit(pp_loss)(ppd))
+        g_pp = jax.jit(jax.grad(pp_loss))(ppd)
+
+    assert got == pytest.approx(expected, rel=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_seq_pp),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(g_pp)),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_pp_train_step_runs_and_learns(pp_env):
+    """A few pp train steps reduce the loss (training-mode path with
+    dropout rngs plumbed per microbatch/stage/layer)."""
+    from pyhgt_tpu.parallel.pipeline import (
+        make_pipe_mesh,
+        make_pp_train_step,
+        pipeline_param_shardings,
+        stack_pipeline_params,
+    )
+
+    fl, stack, se_stack, y, params = pp_env
+    pp = stack_pipeline_params(params, fl.cfg.n_layers, 2)
+    tx = make_optimizer(1e-2, weight_decay=0.0, clip_norm=0.25, params=pp)
+    mesh = make_pipe_mesh(2)
+    with mesh:
+        ppd = jax.device_put(pp, pipeline_param_shardings(pp, mesh))
+        state = TrainState.create(ppd, tx)
+        step = make_pp_train_step(fl, tx, mesh, n_micro=3, donate=False)
+        rep = NamedSharding(mesh, P())
+        micro = tuple(
+            jax.device_put(np.asarray(a), rep) for a in fl.batch_args(stack)
+        )
+        se_d = jax.device_put(se_stack, rep)
+        yd = jax.device_put(y, rep)
+        losses = []
+        for i in range(8):
+            state, loss = step(state, jax.random.key(i), micro, se_d, yd)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_param_sharding_rules(env):
     fl, *_ , params = env
     mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
