@@ -17,12 +17,29 @@ from pyhgt_tpu.config import PRESETS, ExperimentConfig
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pyhgt_tpu.run", description=__doc__)
     p.add_argument(
-        "task", choices=list(PRESETS.keys()) + ["eval_ogbn_mag", "serve"],
+        "task",
+        choices=list(PRESETS.keys())
+        + ["eval_ogbn_mag", "serve", "preprocess_oag"],
     )
     p.add_argument("--ckpt", default=None,
                    help="checkpoint dir (eval_ogbn_mag / serve)")
-    p.add_argument("--eval_mode", default="variance_reduce",
-                   choices=["variance_reduce", "sequential"])
+    p.add_argument("--eval_mode", "--task_type", dest="eval_mode",
+                   default="variance_reduce",
+                   choices=["variance_reduce", "sequential"],
+                   help="eval protocol; --task_type is the reference "
+                        "alias (eval_ogbn_mag.py:29-30)")
+    p.add_argument("--plot", action="store_true",
+                   help="write loss/metric curves PNG next to the "
+                        "checkpoint after training (train_ogbn_mag.py:29)")
+    p.add_argument("--input_dir", default="./data/oag_raw",
+                   help="preprocess_oag: raw TSV directory "
+                        "(preprocess_OAG.py:14)")
+    p.add_argument("--output_dir", default="./data/oag_output",
+                   help="preprocess_oag: save_dir for the built CSRGraph "
+                        "(preprocess_OAG.py:16)")
+    p.add_argument("--citation_bar", type=int, default=1,
+                   help="preprocess_oag: keep papers with citations >= "
+                        "min(2020-year, 20)*bar (preprocess_OAG.py:22)")
     p.add_argument("--features", default="oag", choices=["oag", "mag"],
                    help="feature extractor for OAG tasks (oag = node_emb||"
                         "emb||log-citation concat; mag = plain emb gather)")
@@ -50,9 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_meta", default=None,
                    help="link family: authorship meta-relation as "
                         "'tgt,src,rel' (default paper,author,AP_write_first)")
-    p.add_argument("--data", dest="data_path", required=True,
+    p.add_argument("--data", dest="data_path", default=None,
                    help="CSRGraph pickle, a save_dir directory "
-                        "(mmap-loaded), or a reference .pk (auto-converted)")
+                        "(mmap-loaded), or a reference .pk (auto-converted); "
+                        "required for every task except preprocess_oag")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend (the TPU plugin ignores the "
                         "JAX_PLATFORMS env var — this sets the config flag "
@@ -111,6 +129,20 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.task == "preprocess_oag":
+        # reference preprocess_OAG.py surface: raw TSVs in, built graph
+        # out; the save_dir layout memory-maps on load (large-graph path)
+        from pyhgt_tpu.datasets.oag import preprocess_oag
+
+        domain = args.domain if args.domain is not None else "_CS"
+        g = preprocess_oag(
+            args.input_dir, domain=domain, citation_bar=args.citation_bar,
+        )
+        g.save_dir(args.output_dir)
+        print(f"saved CSRGraph save_dir to {args.output_dir}")
+        return 0
+    if not args.data_path:
+        raise SystemExit(f"--data is required for task {args.task!r}")
     if args.task == "eval_ogbn_mag":
         preset = "ogbn_mag"
     elif args.task == "serve":
@@ -151,21 +183,22 @@ def main(argv=None) -> int:
             return tuple(args.label_meta.split(","))
         return default
 
+    out = None
     if args.task == "paper_field":
-        run_node_classification(
+        out = run_node_classification(
             cfg, graph, label_meta=_label_meta(("field", "paper", "PF_in_L2")),
             multi_label=True, feature_fn=feat,
         )
     elif args.task == "paper_venue":
-        run_node_classification(
+        out = run_node_classification(
             cfg, graph,
             label_meta=_label_meta(("venue", "paper", "PV_Journal")),
             multi_label=False, feature_fn=feat,
         )
     elif args.task == "author_disambiguation":
-        run_author_disambiguation(cfg, graph, **_link_metas(args))
+        out = run_author_disambiguation(cfg, graph, **_link_metas(args))
     elif args.task == "ogbn_mag":
-        run_ogbn(cfg, graph)
+        out = run_ogbn(cfg, graph)
     elif args.task == "eval_ogbn_mag":
         from pyhgt_tpu.experiments.engine import evaluate_ogbn
 
@@ -202,6 +235,13 @@ def main(argv=None) -> int:
                 OgbnPredictor(cfg, graph, args.ckpt, log=err),
                 log=err, coalesce_wait=args.coalesce_wait,
             )
+    if args.plot and out and out.get("history"):
+        import os
+
+        from pyhgt_tpu.utils.experiment import plot_history
+
+        png = os.path.join(cfg.model_dir, f"{cfg.task_name}_curves.png")
+        print(f"plot: {plot_history(out['history'], png)}")
     return 0
 
 

@@ -355,6 +355,32 @@ def test_cli_parser():
     assert a.serve_task == "link" and a.index_authors == 100
     assert a.coalesce_wait == 0.05 and a.platform == "cpu"
     assert a.fused_opt is True
+    # reference aliases / parity flags (eval_ogbn_mag.py:29, train_ogbn_mag
+    # .py:29, preprocess_OAG.py:14-23)
+    a = p.parse_args(["eval_ogbn_mag", "--data", "/tmp/x.pk",
+                      "--task_type", "sequential"])
+    assert a.eval_mode == "sequential"
+    a = p.parse_args(["preprocess_oag", "--input_dir", "/tmp/raw",
+                      "--output_dir", "/tmp/out", "--citation_bar", "2"])
+    assert a.citation_bar == 2 and a.data_path is None
+    a = p.parse_args(["ogbn_mag", "--data", "/tmp/x.pk", "--plot"])
+    assert a.plot is True
+
+
+def test_plot_history(tmp_path):
+    from pyhgt_tpu.utils.experiment import plot_history
+
+    hist = [dict(epoch=i, loss=2.0 - 0.1 * i, valid_acc=0.1 + 0.05 * i)
+            for i in range(6)]
+    png = str(tmp_path / "curves.png")
+    assert plot_history(hist, png) == png
+    import os
+
+    assert os.path.getsize(png) > 1000
+    # loss-only history (link task logs valid_ndcg; absent metric -> 1 panel)
+    png2 = str(tmp_path / "loss_only.png")
+    plot_history([dict(epoch=0, loss=1.0), dict(epoch=1, loss=0.5)], png2)
+    assert os.path.getsize(png2) > 1000
 
 
 def test_evaluate_ogbn_from_checkpoint(toy_env, tmp_path):

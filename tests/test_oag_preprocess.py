@@ -126,6 +126,24 @@ def test_features_and_propagation(csr):
     assert "VLDB" in csr.features["venue"]["name"].tolist()
 
 
+def test_preprocess_oag_cli(oag_dir, tmp_path):
+    """The reference preprocess_OAG.py surface (:14-23) as a run.py
+    subcommand: TSVs in, save_dir CSRGraph out (mmap-loadable)."""
+    from pyhgt_tpu.graph.csr import CSRGraph
+    from pyhgt_tpu.run import main
+
+    out = str(tmp_path / "oag_out")
+    rc = main([
+        "preprocess_oag", "--input_dir", str(oag_dir),
+        "--output_dir", out, "--citation_bar", "1", "--domain", "_T",
+    ])
+    assert rc == 0
+    g = CSRGraph.load_dir(out, mmap=True)
+    assert g.num_nodes["paper"] >= 2
+    assert any(m[2] == "PV_Conference" or m[2].startswith("PV_")
+               for m in g.adj)
+
+
 def test_sampler_runs_on_oag_graph(csr):
     from pyhgt_tpu.sampling.hgsampler import HGSampler
 
