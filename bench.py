@@ -66,32 +66,45 @@ def main() -> int:
                     default=True,
                     help="skip the bounded device-reachability probe")
     ap.add_argument("--probe_timeout", type=int, default=300)
+    ap.add_argument("--probe_retries", type=int, default=4,
+                    help="extra probe attempts (sleep between them) before "
+                         "giving up — the tunnel flaps; the driver runs "
+                         "bench ONCE per round, so ride out short outages")
+    ap.add_argument("--probe_retry_sleep", type=int, default=150)
     args = ap.parse_args()
 
     if args.probe:
         # the axon tunnel can die for hours and then HANGS on any device
-        # op (observed 2026-08-18, >8 h outage) — fail fast with a clear
-        # error instead of wedging the harness
+        # op (observed 2026-08-18, >8 h outage) — probe in a bounded
+        # subprocess, retry through short flaps, and fail fast with a
+        # clear error instead of wedging the harness
         import subprocess
 
-        try:
-            subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; "
-                 "print(float(jax.jit(lambda a: a + 1)"
-                 "(jnp.ones((8, 128)))[0, 0]))"],
-                timeout=args.probe_timeout, check=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
-        except subprocess.TimeoutExpired:
-            print(
-                f"ERROR: device unreachable (trivial jit did not complete "
-                f"in {args.probe_timeout}s — tunnel down?)",
-                file=sys.stderr,
-            )
-            return 2
-        except subprocess.CalledProcessError as e:
-            print(f"ERROR: device probe failed: {e}", file=sys.stderr)
+        last_err = None
+        for attempt in range(1 + max(args.probe_retries, 0)):
+            if attempt:
+                time.sleep(args.probe_retry_sleep)
+            try:
+                subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; "
+                     "print(float(jax.jit(lambda a: a + 1)"
+                     "(jnp.ones((8, 128)))[0, 0]))"],
+                    timeout=args.probe_timeout, check=True,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                last_err = None
+                break
+            except subprocess.TimeoutExpired:
+                last_err = (f"device unreachable (trivial jit did not "
+                            f"complete in {args.probe_timeout}s — tunnel "
+                            f"down?)")
+            except subprocess.CalledProcessError as e:
+                last_err = f"device probe failed: {e}"
+            print(f"probe attempt {attempt + 1} failed: {last_err}",
+                  file=sys.stderr)
+        if last_err is not None:
+            print(f"ERROR: {last_err}", file=sys.stderr)
             return 2
 
     import jax
