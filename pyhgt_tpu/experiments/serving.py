@@ -503,6 +503,69 @@ def serve_jsonl(
     return n
 
 
+def serve_http(
+    answer,
+    port: int = 0,
+    host: str = "127.0.0.1",
+    log: Callable[[str], None] = print,
+):
+    """Minimal stdlib HTTP front-end over the same ``answer(req) -> resp``
+    semantics as the JSON-lines loops (node or link — pass the matching
+    closure). POST / with a JSON body answers JSON; malformed requests
+    get the ``{"error": ...}`` envelope with status 400; GET /healthz
+    answers 200 once the predictor is warm (it is constructed before the
+    server starts). Returns the bound ``HTTPServer`` — call
+    ``serve_forever()`` (CLI) or drive it from a thread (tests).
+
+    Requests are handled serially on one thread: predictors are not
+    re-entrant (jit caches + index rebuilds), and the model call
+    dominates latency anyway — put a real load balancer in front for
+    fan-in, exactly like the reference's torch eval scripts would need.
+    """
+    import json
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route access logs to our logger
+            log(f"http: {fmt % a}")
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            else:
+                self._send(404, {"error": "POST / with a JSON request"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+            except Exception as e:
+                self._send(400, {"error": repr(e)})
+                return
+            try:
+                self._send(200, answer(req))
+            except Exception as e:
+                self._send(400, {"error": repr(e)})
+
+    srv = HTTPServer((host, port), Handler)
+    log(f"serving on http://{host}:{srv.server_port}")
+    return srv
+
+
+def node_answer(predictor: OgbnPredictor):
+    """The node-classification request semantics shared by the JSONL and
+    HTTP front-ends."""
+    return lambda req: _answer_node_batch(predictor, [req])[0]
+
+
 def serve_link_jsonl(
     predictor: "LinkPredictor",
     stdin=None,
@@ -515,6 +578,12 @@ def serve_link_jsonl(
     A line ``{"index_authors": [...]}`` (re)builds the candidate index
     online (versioned, :meth:`LinkPredictor.build_author_index`) and
     answers ``{"indexed": n, "version": v}``."""
+    return _serve_loop(stdin, stdout, log, link_answer(predictor))
+
+
+def link_answer(predictor: "LinkPredictor"):
+    """The link top-k request semantics shared by the JSONL and HTTP
+    front-ends."""
 
     def answer(req):
         if "index_authors" in req:
@@ -534,4 +603,4 @@ def serve_link_jsonl(
             "scores": np.round(vals, 6).tolist(),
         }
 
-    return _serve_loop(stdin, stdout, log, answer)
+    return answer

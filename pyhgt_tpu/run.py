@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="node-serve micro-batching: wait this many seconds "
                         "after the first pending request, then answer the "
                         "burst with one coalesced model call")
+    p.add_argument("--http", type=int, default=0, metavar="PORT",
+                   help="serve over HTTP on this port instead of "
+                        "JSON-lines stdio (POST / with the same request "
+                        "bodies; GET /healthz)")
     p.add_argument("--index_authors", type=int, default=0,
                    help="link-serve: pre-build the candidate index over the "
                         "first N grouped authors (0 = all); clients can "
@@ -220,6 +224,8 @@ def main(argv=None) -> int:
         # stderr so clients can json.loads each stdout line
         err = lambda s: print(s, file=sys.stderr)
         if args.serve_task == "link":
+            from pyhgt_tpu.experiments.serving import link_answer, serve_http
+
             lp = LinkPredictor(cfg, graph, args.ckpt, log=err,
                                **_link_metas(args))
             authors = sorted(
@@ -229,12 +235,21 @@ def main(argv=None) -> int:
                 authors = authors[: args.index_authors]
             err(f"indexing {len(authors)} candidate authors")
             lp.build_author_index(authors)
-            serve_link_jsonl(lp, log=err)
+            if args.http:
+                serve_http(link_answer(lp), port=args.http,
+                           log=err).serve_forever()
+            else:
+                serve_link_jsonl(lp, log=err)
         else:
-            serve_jsonl(
-                OgbnPredictor(cfg, graph, args.ckpt, log=err),
-                log=err, coalesce_wait=args.coalesce_wait,
-            )
+            from pyhgt_tpu.experiments.serving import node_answer, serve_http
+
+            pred = OgbnPredictor(cfg, graph, args.ckpt, log=err)
+            if args.http:
+                serve_http(node_answer(pred), port=args.http,
+                           log=err).serve_forever()
+            else:
+                serve_jsonl(pred, log=err,
+                            coalesce_wait=args.coalesce_wait)
     if args.plot and out and out.get("history"):
         import os
 

@@ -159,6 +159,39 @@ def test_serving_predictor_and_jsonl(toy_env, tmp_path):
     assert all(0 <= p < pred.n_classes
                for l in lines2[:2] for p in l["pred"])
 
+    # HTTP front-end over the same answer semantics: POST / with the
+    # JSONL request body, GET /healthz, malformed -> 400 + error envelope
+    import threading
+    import urllib.request
+
+    from pyhgt_tpu.experiments.serving import node_answer, serve_http
+
+    srv = serve_http(node_answer(pred), port=0, log=lambda s: None)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        req = urllib.request.Request(
+            base, data=b'{"nodes": [3, 17], "vr_num": 1}',
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert body["nodes"] == [3, 17]
+        assert all(0 <= p < pred.n_classes for p in body["pred"])
+        bad = urllib.request.Request(base, data=b"not json")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
     # per-request isolation in a coalesced burst: a poison request (the
     # predictor raises on it) must only fail itself, not its groupmates
     poison = pred.predict_logprobs
