@@ -87,6 +87,53 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_acc(
+    loss_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Gradient-accumulation variant of :func:`make_train_step`.
+
+    ``step(state, rng, *stacked_batch) -> (state, mean_loss)`` where every
+    batch argument carries a leading accumulation axis ``A``: grads are
+    averaged over the ``A`` microbatches inside one jit program, then the
+    optimizer applies once. One dispatch + one optimizer apply amortized
+    over ``A`` batches (the reference's ``--repeat`` reuses batches,
+    ``OAG/train_paper_field.py:240``; this instead packs *distinct*
+    batches per step). Microbatches run through ``lax.scan`` so each slice
+    executes the unbatched program — vmap with a batched leading axis
+    turns the edge gathers into batched gathers (+20% measured,
+    docs/PERF_NOTES.md).
+    """
+
+    def step(state: TrainState, rng, *batch):
+        n_acc = jax.tree_util.tree_leaves(batch[0])[0].shape[0]
+        rngs = jax.random.split(rng, n_acc)
+
+        def body(carry, xs):
+            r = xs[0]
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, r, *xs[1:]
+            )
+            acc_loss, acc_g = carry
+            return (acc_loss + loss, jax.tree.map(jnp.add, acc_g, grads)), None
+
+        zero = (
+            jnp.zeros((), jnp.float32),
+            jax.tree.map(lambda p: jnp.zeros_like(p), state.params),
+        )
+        (loss_sum, g_sum), _ = jax.lax.scan(body, zero, (rngs, *batch))
+        grads = jax.tree.map(lambda g: g / n_acc, g_sum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss_sum / n_acc,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(forward: Callable[..., Any]):
     """jit a pure forward for evaluation (deterministic=True path)."""
     return jax.jit(forward)

@@ -279,6 +279,55 @@ def test_train_step_converges_linear_regression(rng):
     assert int(state.step) == 60
 
 
+def test_train_step_acc_matches_mean_grad(rng):
+    """Grad accumulation over A microbatches == one step on the averaged
+    grads: same params after the step, mean loss returned, and A=1 is
+    exactly make_train_step."""
+    from pyhgt_tpu.train.step import make_train_step_acc
+
+    w_true = rng.normal(size=(6, 1)).astype(np.float32)
+    Xs = rng.normal(size=(2, 16, 6)).astype(np.float32)  # A=2 microbatches
+    Ys = np.einsum("abc,cd->abd", Xs, w_true)
+
+    def loss_fn(params, rng_key, x, y):
+        return jnp.mean((x @ params["w"] - y) ** 2)
+
+    params = {"w": jnp.asarray(rng.normal(size=(6, 1)).astype(np.float32))}
+    tx = make_optimizer(1e-2, weight_decay=0.01, clip_norm=0.5, params=params)
+    key = jax.random.key(3)
+
+    # expected: average the two microbatch grads by hand, one tx.update
+    import optax
+
+    losses, grads = zip(*[
+        jax.value_and_grad(loss_fn)(params, k, Xs[i], Ys[i])
+        for i, k in enumerate(jax.random.split(key, 2))
+    ])
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    st = TrainState.create(params, tx)
+    upd, _ = tx.update(g_mean, st.opt_state, params)
+    want = optax.apply_updates(params, upd)
+
+    step_acc = make_train_step_acc(loss_fn, tx, donate=False)
+    out, loss = step_acc(st, key, Xs, Ys)
+    np.testing.assert_allclose(out.params["w"], want["w"], rtol=1e-6)
+    np.testing.assert_allclose(
+        float(loss), float((losses[0] + losses[1]) / 2), rtol=1e-6
+    )
+    assert int(out.step) == 1
+
+    # A=1 degenerates to the plain step (up to the split-key rng)
+    st2 = TrainState.create(params, tx)
+    out1, loss1 = step_acc(st2, key, Xs[:1], Ys[:1])
+    k1 = jax.random.split(key, 1)[0]
+    st3 = TrainState.create(params, tx)
+    out_ref, loss_ref = make_train_step(loss_fn, tx, donate=False)(
+        st3, k1, Xs[0], Ys[0]
+    )
+    np.testing.assert_allclose(out1.params["w"], out_ref.params["w"], rtol=1e-6)
+    np.testing.assert_allclose(float(loss1), float(loss_ref), rtol=1e-6)
+
+
 def test_no_decay_mask_excludes_biases():
     from pyhgt_tpu.train.optim import _decay_mask
 
