@@ -50,15 +50,27 @@ from pyhgt_tpu.ops.hgt import typed_linear
 from pyhgt_tpu.train.step import TrainState, nll_loss
 
 PIPE_AXIS = "pipe"
+DATA_AXIS = "data"
 
 
-def make_pipe_mesh(n_pipe: int, devices=None) -> Mesh:
-    """1-D ``pipe`` mesh over the first ``n_pipe`` devices."""
+def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
+    """``pipe`` mesh over the first ``n_pipe`` devices; ``n_data > 1``
+    composes dp×pp on a 2-D ``(data, pipe)`` mesh — each data shard runs
+    its own GPipe pipeline over its own microbatches, stage params are
+    replicated along ``data`` (their grad cotangents psum automatically
+    under shard_map), and the loss is additionally pmean'd over ``data``.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    if len(devices) < n_pipe:
-        raise ValueError(f"pipe={n_pipe} needs {n_pipe} devices, "
-                         f"have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_pipe]), (PIPE_AXIS,))
+    need = n_pipe * n_data
+    if len(devices) < need:
+        raise ValueError(f"pipe={n_pipe} x data={n_data} needs {need} "
+                         f"devices, have {len(devices)}")
+    if n_data == 1:
+        return Mesh(np.asarray(devices[:n_pipe]), (PIPE_AXIS,))
+    return Mesh(
+        np.asarray(devices[:need]).reshape(n_data, n_pipe),
+        (DATA_AXIS, PIPE_AXIS),
+    )
 
 
 def stack_pipeline_params(params, n_layers: int, n_stages: int):
@@ -130,10 +142,17 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
     microbatch axis, ``se_stack`` the same for the SortedEdges pytree,
     ``labels [M, n_seed]``. All replicated along ``pipe``; the stage
     params arrive sharded. The returned callable must run under
-    ``jit`` (it contains a shard_map)."""
+    ``jit`` (it contains a shard_map).
+
+    On a 2-D ``(data, pipe)`` mesh (dp×pp, :func:`make_pipe_mesh` with
+    ``n_data > 1``) the microbatch leading axis must be ``[Dp*M]`` — it is
+    sharded over ``data`` so each data shard pipelines its own ``M``
+    microbatches; the returned loss is the mean over all ``Dp*M``."""
     c = fl.cfg
     if c.n_layers % n_stages:
         raise ValueError(f"n_layers={c.n_layers} % n_stages={n_stages}")
+    has_dp = DATA_AXIS in mesh.axis_names
+    data_spec = P(DATA_AXIS) if has_dp else P()
     conv = GeneralConv(
         conv_name="hgt", in_dim=c.n_hid, out_dim=c.n_hid,
         num_types=fl.schema.num_types,
@@ -159,7 +178,7 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(), P(), P(), P(), P()),
+        in_specs=(P(PIPE_AXIS), P(), P(), data_spec, data_spec, data_spec),
         out_specs=P(),
         check_vma=False,
     )
@@ -167,6 +186,8 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
         # [1, L/S, ...] local shard -> [L/S, ...]
         stage_layers = jax.tree.map(lambda a: a[0], stages_local)
         s = lax.axis_index(PIPE_AXIS)
+        if has_dp:  # decorrelate dropout across data shards
+            rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
         nf_all, es_all, et_all, dt_all, emk_all, nmk_all = micro
 
         def embed(m_idx, key):
@@ -227,7 +248,10 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
         )
         # acc is nonzero only on the last stage; psum replicates the
         # mean-over-microbatches loss to every device
-        return lax.psum(acc, PIPE_AXIS) / M
+        loss = lax.psum(acc, PIPE_AXIS) / M
+        if has_dp:
+            loss = lax.pmean(loss, DATA_AXIS)
+        return loss
 
     return collective_loss
 

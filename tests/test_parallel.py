@@ -225,6 +225,85 @@ def test_pp_train_step_runs_and_learns(pp_env):
     assert losses[-1] < losses[0]
 
 
+def test_dp_pp_loss_and_grads_match_sequential():
+    """dp×pp on a 2-D (data, pipe) mesh: each data shard pipelines its own
+    M microbatches; loss and grads == the sequential mean over all Dp*M
+    microbatches (stage params replicated along data, cotangents psum'd
+    by shard_map)."""
+    from pyhgt_tpu.parallel.pipeline import (
+        make_pipe_mesh,
+        make_pp_loss,
+        pipeline_param_shardings,
+        stack_pipeline_params,
+    )
+    from jax.sharding import PartitionSpec as P2
+
+    fl = build_flagship("dryrun", dropout=0.0)
+    n_total = 4  # Dp=2 shards x M=2 microbatches each
+    batches, labels, ses = [], [], []
+    for i in range(n_total):
+        b, y = synth_flagship_batch(fl, seed=40 + i)
+        batches.append(b)
+        labels.append(y)
+        ses.append(fl.sort(b))
+    stack = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    se_stack = jax.tree.map(lambda *xs: np.stack(xs), *ses)
+    y = np.stack(labels)
+    params = fl.init_params(jax.random.key(0), batches[0], ses[0])
+    loss_single = fl.loss_fn_single()
+    rng = jax.random.key(7)
+
+    def seq_loss(p):
+        losses = [
+            loss_single(
+                p, rng,
+                *[jax.tree.map(lambda a: a[m], x) for x in fl.batch_args(stack)],
+                jax.tree.map(lambda a: a[m], se_stack),
+                y[m],
+            )
+            for m in range(n_total)
+        ]
+        return sum(losses) / n_total
+
+    expected = float(seq_loss(params))
+    g_seq_pp = stack_pipeline_params(
+        jax.grad(seq_loss)(params), fl.cfg.n_layers, 2
+    )
+
+    mesh = make_pipe_mesh(2, n_data=2)
+    assert mesh.axis_names == ("data", "pipe")
+    loss_fn = make_pp_loss(fl, 2, 2, mesh, deterministic=True)  # M=2/shard
+    pp = stack_pipeline_params(params, fl.cfg.n_layers, 2)
+    with mesh:
+        ppd = jax.device_put(pp, pipeline_param_shardings(pp, mesh))
+        data_sh = NamedSharding(mesh, P2("data"))
+        rep = NamedSharding(mesh, P2())
+        micro = tuple(
+            jax.device_put(np.asarray(a), data_sh)
+            for a in fl.batch_args(stack)
+        )
+        se_d = jax.device_put(se_stack, data_sh)
+        yd = jax.device_put(y, data_sh)
+        rngd = jax.device_put(rng, rep)
+
+        def pp_loss(p):
+            return loss_fn(p["stages"], p["shared"], rngd, micro, se_d, yd)
+
+        got = float(jax.jit(pp_loss)(ppd))
+        g_pp = jax.jit(jax.grad(pp_loss))(ppd)
+
+    assert got == pytest.approx(expected, rel=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_seq_pp),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(g_pp)),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_param_sharding_rules(env):
     fl, *_ , params = env
     mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
