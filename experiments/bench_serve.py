@@ -1,0 +1,105 @@
+"""Serving latency benchmark: the online-inference analogue of bench.py.
+
+Measures the WHOLE serving path (per-request HGSampling on the host →
+padded batch → device forward → VR accumulation) of the warm
+:class:`~pyhgt_tpu.experiments.serving.OgbnPredictor`, the productized
+form of the reference's sampling-based evaluator
+(``/root/reference/ogbn-mag/eval_ogbn_mag.py:128-179``). The reference
+has no serving story at all — this pins ours with numbers.
+
+Prints one JSON line per (request_size, vr_num) config with p50/p95
+latency and throughput, then a summary line. Run with ``--cpu`` for a
+smoke pass; on the real chip expect the first forward to pay the 30-60 s
+remote compile once (warm-up excluded from the stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from synthetic_mag_demo import build_synthetic_mag
+
+    from pyhgt_tpu.config import ExperimentConfig
+    from pyhgt_tpu.experiments import run_ogbn
+    from pyhgt_tpu.experiments.serving import OgbnPredictor
+
+    import tempfile
+
+    g = build_synthetic_mag()
+    rng = np.random.default_rng(0)
+    n = g.num_nodes["paper"]
+    if "y" not in g.aux:
+        g.aux.update(
+            y=rng.integers(0, 8, n), years=np.full(n, 2015),
+            train_mask=rng.random(n) < 0.6,
+            valid_mask=rng.random(n) < 0.2,
+            test_mask=rng.random(n) < 0.2,
+        )
+
+    td = tempfile.mkdtemp(prefix="bench_serve_")
+    cfg = ExperimentConfig(
+        task_name="bench_serve", model_dir=td,
+        n_hid=128, n_heads=8, n_layers=2, sample_depth=3, sample_width=32,
+        batch_size=32, n_batch=2, repeat=1, n_pool=2, n_epoch=1,
+        node_cap=256, edge_cap=1024, vr_num=1,
+    )
+    print(json.dumps({"phase": "train-for-checkpoint"}), flush=True)
+    run_ogbn(cfg, g, log=lambda s: None, max_eval_nodes=8)
+    ckpt = os.path.join(cfg.model_dir, f"{cfg.task_name}_{cfg.conv_name}")
+    pred = OgbnPredictor(cfg, g, ckpt, log=lambda s: None)
+
+    req_rng = np.random.default_rng(7)
+    # warm-up: compile + caches
+    _ = pred.predict([1, 2, 3], vr_num=1, rng=np.random.default_rng(1))
+
+    results = []
+    for req_size in (1, 8, 32):
+        for vr in (1, 4):
+            lat = []
+            iters = 20 if req_size <= 8 else 10
+            for _ in range(iters):
+                nodes = req_rng.integers(0, n, req_size).tolist()
+                t0 = time.perf_counter()
+                out = pred.predict(nodes, vr_num=vr,
+                                   rng=np.random.default_rng(3))
+                lat.append((time.perf_counter() - t0) * 1e3)
+                assert len(out) == req_size
+            lat = np.sort(np.asarray(lat))
+            row = {
+                "metric": "serve_latency",
+                "request_size": req_size,
+                "vr_num": vr,
+                "p50_ms": round(float(np.percentile(lat, 50)), 2),
+                "p95_ms": round(float(np.percentile(lat, 95)), 2),
+                "nodes_per_s": round(req_size / (lat.mean() / 1e3), 1),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    base = next(r for r in results
+                if r["request_size"] == 1 and r["vr_num"] == 1)
+    print(json.dumps({
+        "metric": "serve_p50_single_ms", "value": base["p50_ms"],
+        "unit": "ms",
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
