@@ -426,17 +426,28 @@ def serve_jsonl(
     request is retried solo so it only errors itself). The classic
     serving-batcher trade: +wait latency on the first request of a burst,
     ~burst-size× throughput under concurrency."""
-    import json
-    import queue
-    import sys
-    import threading
-    import time
-
     if coalesce_wait <= 0:
         return _serve_loop(
             stdin, stdout, log,
             lambda req: _answer_node_batch(predictor, [req])[0],
         )
+    return _serve_coalesced(
+        stdin, stdout, log, coalesce_wait,
+        lambda reqs: _answer_node_batch(predictor, reqs),
+    )
+
+
+def _serve_coalesced(stdin, stdout, log, coalesce_wait, answer_batch) -> int:
+    """Micro-batching JSON-lines transport shared by the node and link
+    serving loops: a reader thread queues lines; after the first pending
+    request, wait ``coalesce_wait`` seconds for the burst, then answer it
+    with ONE ``answer_batch(reqs) -> [resp]`` call (request order
+    preserved; parse failures answer in place)."""
+    import json
+    import queue
+    import sys
+    import threading
+    import time
 
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
@@ -496,7 +507,7 @@ def serve_jsonl(
             else:
                 order.append(len(reqs))
                 reqs.append(req)
-        answers = _answer_node_batch(predictor, reqs)
+        answers = answer_batch(reqs)
         for slot in order:
             emit(slot if isinstance(slot, dict) else answers[slot])
     log(f"served {n} requests")
@@ -571,14 +582,90 @@ def serve_link_jsonl(
     stdin=None,
     stdout=None,
     log: Callable[[str], None] = print,
+    coalesce_wait: float = 0.0,
 ) -> int:
     """JSON-lines top-k serving on a :class:`LinkPredictor`: each line
     ``{"papers": [...], "k": 10?, "times": [...]?}`` answers with
     ``{"papers": [...], "authors": [[...k ids]], "scores": [[...k]]}``.
     A line ``{"index_authors": [...]}`` (re)builds the candidate index
     online (versioned, :meth:`LinkPredictor.build_author_index`) and
-    answers ``{"indexed": n, "version": v}``."""
-    return _serve_loop(stdin, stdout, log, link_answer(predictor))
+    answers ``{"indexed": n, "version": v}``.
+
+    ``coalesce_wait > 0`` micro-batches concurrent requests into one
+    subgraph sample + top-k call per distinct ``k`` (same trade as the
+    node loop; index rebuilds are never coalesced)."""
+    if coalesce_wait <= 0:
+        return _serve_loop(stdin, stdout, log, link_answer(predictor))
+    return _serve_coalesced(
+        stdin, stdout, log, coalesce_wait,
+        lambda reqs: _answer_link_batch(predictor, reqs),
+    )
+
+
+def _answer_link_batch(predictor, reqs):
+    """Answer a burst of parsed link requests with ONE ``topk`` call per
+    distinct ``k`` (queries concatenate; per-paper times default to the
+    predictor's ``max_time`` exactly as ``topk(times=None)`` does).
+    ``index_authors`` lines run in place, uncoalesced — so a rebuild
+    inside a burst applies to EVERY top-k answer of that burst (clients
+    needing strict ordering should not pipeline rebuilds with queries).
+    Response order matches request order; a failing request retries solo
+    so it only errors itself."""
+    import collections
+
+    single = link_answer(predictor)
+    resp = [None] * len(reqs)
+    groups = collections.defaultdict(list)
+    for i, req in enumerate(reqs):
+        try:
+            if "index_authors" in req:
+                resp[i] = single(req)
+                continue
+            papers = [int(v) for v in req["papers"]]
+            times = req.get("times")
+            if times is not None:
+                times = [int(t) for t in times]
+                if len(times) != len(papers):
+                    raise ValueError(
+                        f"times has {len(times)} entries for "
+                        f"{len(papers)} papers"
+                    )
+            groups[int(req.get("k", 10))].append((i, papers, times))
+        except Exception as e:  # malformed request: answer, don't die
+            resp[i] = {"error": repr(e)}
+
+    def answer_members(members, k):
+        flat, flat_t = [], []
+        for _, papers, times in members:
+            flat.extend(papers)
+            flat_t.extend(
+                times if times is not None
+                else [predictor.max_time] * len(papers)
+            )
+        vals, cand = predictor.topk(flat, k=k, times=flat_t)
+        pos = 0
+        for i, papers, _ in members:
+            rows = slice(pos, pos + len(papers))
+            pos += len(papers)
+            resp[i] = {
+                "papers": papers,
+                "authors": cand[rows].tolist(),
+                "scores": np.round(vals[rows], 6).tolist(),
+            }
+
+    for k, members in groups.items():
+        try:
+            answer_members(members, k)
+        except Exception as e:
+            if len(members) == 1:
+                resp[members[0][0]] = {"error": repr(e)}
+                continue
+            for member in members:
+                try:
+                    answer_members([member], k)
+                except Exception as e1:
+                    resp[member[0]] = {"error": repr(e1)}
+    return resp
 
 
 def link_answer(predictor: "LinkPredictor"):

@@ -52,9 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "subgraphs; link = two-tower matcher top-k "
                         "(offline author index + online paper queries)")
     p.add_argument("--coalesce_wait", type=float, default=0.0,
-                   help="node-serve micro-batching: wait this many seconds "
-                        "after the first pending request, then answer the "
-                        "burst with one coalesced model call")
+                   help="serve micro-batching (node and link): wait this "
+                        "many seconds after the first pending request, then "
+                        "answer the burst with one coalesced model call")
     p.add_argument("--http", type=int, default=0, metavar="PORT",
                    help="serve over HTTP on this port instead of "
                         "JSON-lines stdio (POST / with the same request "
@@ -239,7 +239,8 @@ def main(argv=None) -> int:
                 serve_http(link_answer(lp), port=args.http,
                            log=err).serve_forever()
             else:
-                serve_link_jsonl(lp, log=err)
+                serve_link_jsonl(lp, log=err,
+                                 coalesce_wait=args.coalesce_wait)
         else:
             from pyhgt_tpu.experiments.serving import node_answer, serve_http
 

@@ -287,6 +287,27 @@ def test_link_serving_predictor(toy_env, tmp_path):
     assert set(lines[2]["authors"][0]) <= {0, 1, 2, 3, 4}
     assert "error" in lines[3]
 
+    # coalesced link burst: one topk call per distinct k; request order
+    # preserved; a poison request (bad paper id count vs times) only
+    # fails itself; index_authors lines answer in place uncoalesced
+    from pyhgt_tpu.experiments.serving import _answer_link_batch
+
+    burst = [
+        {"papers": [0, 5], "k": 3},
+        {"papers": [2], "k": 3},
+        {"papers": [1], "k": 3, "times": [2015, 2016]},  # poison: 2 != 1
+        {"index_authors": [0, 1, 2]},
+        {"papers": [4], "k": 2},
+    ]
+    resp = _answer_link_batch(pred, burst)
+    assert resp[0]["papers"] == [0, 5] and len(resp[0]["authors"][0]) == 3
+    assert resp[1]["papers"] == [2] and len(resp[1]["authors"][0]) == 3
+    assert "error" in resp[2]
+    assert resp[3]["indexed"] == 3
+    assert len(resp[4]["authors"][0]) == 2
+    # coalesced answers draw from the live index at answer time
+    assert set(resp[4]["authors"][0]) <= {0, 1, 2}
+
 
 def test_run_node_classification_dp(toy_env, tmp_path):
     """Engine-level data parallelism (cfg.dp): the shard_map'd unbatched
