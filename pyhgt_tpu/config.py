@@ -58,7 +58,9 @@ class ExperimentConfig:
     optimizer: str = "adamw"           # --optimizer (:42-44)
     fused_opt: bool = False            # flattened-vector AdamW (same math,
                                        # one wide kernel chain; train/optim)
-    scheduler: str = "cosine"          # cosine (OAG) | onecycle (ogbn :128)
+    scheduler: str = "cosine"          # cosine (OAG, clamps at period end —
+    # documented deviation) | cosine_torch (exact torch oscillation +
+    # train_step=1500 mid-cycle start) | onecycle (ogbn :128)
     max_lr: float = 1e-3               # onecycle peak 5e-4 on ogbn (:128)
     n_epoch: int = 200                 # --n_epoch (:23-24)
     clip: float = 0.25                 # --clip (:61-62; ogbn uses 1.0 :57)

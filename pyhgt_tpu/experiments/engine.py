@@ -136,8 +136,19 @@ def make_tx(cfg: ExperimentConfig, params, steps_per_epoch: int):
             max_lr=cfg.max_lr,
             total_steps=max(cfg.n_epoch * steps_per_epoch, 1) + 1,
         )
-    else:
+    elif cfg.scheduler == "cosine_torch":
+        # exact reference OAG dynamics: oscillating cos, train_step=1500
+        # mid-cycle start (train_paper_field.py:205-212)
+        from pyhgt_tpu.train.optim import cosine_torch_schedule
+
+        sched = cosine_torch_schedule(cfg.max_lr, period=1000)
+    elif cfg.scheduler == "cosine":
         sched = cosine_schedule(cfg.max_lr, period=1000)
+    else:
+        raise ValueError(
+            f"unknown scheduler {cfg.scheduler!r} "
+            "(cosine | cosine_torch | onecycle)"
+        )
     return make_optimizer(
         sched, weight_decay=cfg.weight_decay, clip_norm=cfg.clip,
         params=params, name=cfg.optimizer, fused=cfg.fused_opt,

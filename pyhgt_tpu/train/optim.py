@@ -50,6 +50,32 @@ def cosine_schedule(
     return sched
 
 
+def cosine_torch_schedule(
+    lr: float = 1e-3,
+    period: int = 1000,
+    eta_min: float = 1e-6,
+    start_step: int = 1500,
+):
+    """EXACT torch ``CosineAnnealingLR`` closed-form semantics as the
+    reference drives it: ``scheduler.step(train_step)`` with
+    ``train_step`` starting at 1500 (``OAG/train_paper_field.py:205-212``,
+    ``:256``), i.e. ``eta_min + (lr - eta_min) * (1 + cos(pi * t /
+    period)) / 2`` evaluated at ``t = start_step + step`` — the curve
+    OSCILLATES past the period end (torch's cos does not clamp) and the
+    run begins mid-cycle at the 1500/1000 phase. :func:`cosine_schedule`
+    (the default) is the documented deviation that clamps at the period
+    end and starts at phase 0; select ``--scheduler cosine_torch`` to
+    reproduce the reference's OAG training dynamics exactly."""
+
+    def schedule(step):
+        t = jnp.asarray(step, jnp.float32) + float(start_step)
+        return eta_min + (lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * t / float(period))
+        )
+
+    return schedule
+
+
 def onecycle_schedule(
     max_lr: float = 5e-4,
     total_steps: int = 1000,

@@ -94,6 +94,32 @@ def test_onecycle_matches_torch():
 
 
 # -------------------------------------------------------------------- loader
+def test_cosine_torch_matches_torch_closed_form():
+    """cosine_torch == torch CosineAnnealingLR driven exactly like the
+    reference (scheduler.step(train_step), train_step starting at 1500,
+    OAG/train_paper_field.py:205-212,256): oscillates past the period."""
+    import warnings
+
+    import torch
+
+    from pyhgt_tpu.train.optim import cosine_torch_schedule
+
+    lr0, period, eta_min, t0 = 5e-4, 1000, 1e-6, 1500
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=lr0)
+    sched_t = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, period, eta_min=eta_min
+    )
+    ours = cosine_torch_schedule(lr0, period=period, eta_min=eta_min,
+                                 start_step=t0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # torch deprecates .step(epoch)
+        for step in [0, 1, 7, 250, 499, 500, 999, 1000, 1500, 2500, 4321]:
+            sched_t.step(t0 + step)
+            want = opt.param_groups[0]["lr"]
+            got = float(ours(step))
+            assert got == pytest.approx(want, rel=1e-6, abs=1e-12), step
+
+
 def test_prefetch_loader_yields_and_repeats():
     def sample(rng):
         return {"x": np.full((2,), rng.integers(0, 1000))}
