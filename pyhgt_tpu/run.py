@@ -82,8 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "smoke runs even when the TPU link is down)")
     ref = ExperimentConfig()
     for f in dataclasses.fields(ExperimentConfig):
-        if f.name in ("data_path", "task_name"):
+        if f.name == "data_path":
             continue
+        # --task_name overrides the checkpoint filename prefix, exactly the
+        # reference's --task_name role (OAG/train_paper_field.py:18,279)
         arg = "--" + f.name
         if f.type == "bool" or isinstance(getattr(ref, f.name), bool):
             p.add_argument(arg, action=argparse.BooleanOptionalAction,
