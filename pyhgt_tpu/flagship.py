@@ -64,6 +64,9 @@ class FlagshipConfig:
     softmax_pallas: bool = False  # experimental (probe8-p5: standalone win,
     # full-step regression — see PERF_NOTES round 2)
     edge_impl: str = "sorted"  # scatter-free path is the TPU default
+    seg_tile: int = 0          # Pallas kernel tile size K
+    # (0 = ops.pallas_seg.PK default; chip-sweep knob — FLOPs ∝ K+W)
+    seg_w: int = 0             # Pallas output-block size W (0 = K)
     graph_axis: str = ""       # mesh axis name for edge-partitioned runs
     param_bf16: bool = False   # bf16 weight banks at apply time, f32
     # masters in the train state (train/optim.bf16_param_cast)
@@ -155,7 +158,9 @@ class Flagship:
     def sort(self, batch: SubgraphBatch):
         from pyhgt_tpu.sampling.sorted_batch import sort_batch
 
-        return sort_batch(batch, self.layout, self.em)
+        return sort_batch(batch, self.layout, self.em,
+                          pk=self.cfg.seg_tile or None,
+                          pw=self.cfg.seg_w or None)
 
     def batch_args(self, batch: SubgraphBatch):
         return (

@@ -70,7 +70,7 @@ class HGTConv(nn.Module):
     edge_bf16: bool = False  # sorted path: run the per-edge stage in bf16
     edge_bwd: str = "permute"  # sorted-path backward strategy (see
                                # ops/sorted_hgt._edge_bwd):
-                               # permute|recompute|src_direct
+                               # permute|recompute|src_direct|slab
     seg_pallas: bool = False  # sorted path: Pallas segment-sum kernel for
                               # the wide [E, D] reductions (ops/pallas_seg)
     softmax_pallas: bool = False  # sorted path: fused online-softmax kernel
@@ -202,6 +202,7 @@ class HGTConv(nn.Module):
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
             src_direct = self.edge_bwd == "src_direct"
+            bwd_slab = self.edge_bwd == "slab"
             seg_pallas = self.seg_pallas
             softmax_pallas = self.softmax_pallas
 
@@ -212,7 +213,7 @@ class HGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
-                    bwd_src_direct=src_direct,
+                    bwd_src_direct=src_direct, bwd_slab=bwd_slab,
                     seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
                 )
 
@@ -240,7 +241,10 @@ class HGTConv(nn.Module):
                 self.rel_pri, self.rel_att, self.rel_msg, rte_vec,
             )
         # -- update half (conv.py:114-134): gated residual per type --
-        trans = typed_linear(jax.nn.gelu(aggr), self.wa, self.ba)
+        # exact (erf) gelu: the reference's F.gelu (conv.py:119); jax's
+        # default tanh approximation deviates by up to ~3e-3 per value
+        trans = typed_linear(jax.nn.gelu(aggr, approximate=False),
+                             self.wa, self.ba)
         trans = self.drop(trans, deterministic=deterministic)
         alpha = jax.nn.sigmoid(self.skip)[:, None, None]
         out = trans * alpha + x * (1.0 - alpha)
@@ -328,6 +332,7 @@ class DenseHGTConv(nn.Module):
             edge_dtype = jnp.bfloat16 if self.edge_bf16 else None
             bwd_rec = self.edge_bwd == "recompute"
             src_direct = self.edge_bwd == "src_direct"
+            bwd_slab = self.edge_bwd == "slab"
             seg_pallas = self.seg_pallas
             softmax_pallas = self.softmax_pallas
 
@@ -338,7 +343,7 @@ class DenseHGTConv(nn.Module):
                     rel_pri=pri, rel_att=ratt, rel_msg=rmsg,
                     n_heads=n_heads, rte_vec=rv, save_kv=save_kv,
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
-                    bwd_src_direct=src_direct,
+                    bwd_src_direct=src_direct, bwd_slab=bwd_slab,
                     seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
                 )
 
@@ -370,7 +375,7 @@ class DenseHGTConv(nn.Module):
         res = trans + x
         if self.use_norm:  # per-type norm gated (conv.py:265-266)
             res = _typed_layer_norm(res, self.ln_scale, self.ln_bias)
-        ffn = self.out(jax.nn.gelu(self.mid(res)))
+        ffn = self.out(jax.nn.gelu(self.mid(res), approximate=False))
         ffn = self.drop(ffn, deterministic=deterministic)
         out = self.ffn_ln(ffn + res)
         return out * node_mask[..., None]

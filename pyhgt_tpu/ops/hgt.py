@@ -102,6 +102,52 @@ class EdgeStaticMeta:
         )
 
 
+# Backward of the per-block gathers in _block_relation_transform /
+# _rte_block_tables: XLA lowers the gradient of a duplicate-index gather
+# (block_src repeats per source type, block_rel per relation) to a
+# serialized scatter-add while-loop — probe9 traced 8 such loops plus
+# their slice/copy machinery at ~6 ms/step at bench scale. The indices
+# are trace-time numpy constants, so the transpose is a tiny dense
+# one-hot matmul instead ([B, T] @ [B, C, H, dk] — micro-FLOPs). The
+# FORWARD HLO is unchanged: the gather tables' VMEM residency depends
+# fragilely on the producer layout chain (docs/PERF_NOTES.md round-2
+# folded-einsum lesson), so only the backward may be rewritten.
+ONEHOT_BWD = False  # flip after the round-3 on-chip A/B
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _gather_static(table, idx, n_rows):
+    return table[np.asarray(idx, np.int32)]
+
+
+def _gather_static_fwd(table, idx, n_rows):
+    return table[np.asarray(idx, np.int32)], None
+
+
+def _gather_static_bwd(idx, n_rows, _res, g):
+    b = len(idx)
+    oh = np.zeros((b, n_rows), np.float32)
+    oh[np.arange(b), np.asarray(idx)] = 1.0
+    g_table = jnp.einsum(
+        "br,b...->r...", jnp.asarray(oh), g.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return (g_table.astype(g.dtype),)
+
+
+_gather_static.defvjp(_gather_static_fwd, _gather_static_bwd)
+
+
+def _block_gather(table, idx):
+    """``table[idx]`` for a static numpy ``idx`` with duplicate entries;
+    scatter-free transpose when ONEHOT_BWD is on."""
+    if not ONEHOT_BWD:
+        return table[np.asarray(idx)]
+    return _gather_static(
+        table, tuple(int(i) for i in np.asarray(idx)), int(table.shape[0])
+    )
+
+
 def typed_linear(x, w, b=None):
     """Per-type affine map: x [T,C,Din] @ w [T,Din,Dout] (+ b [T,Dout]).
 
@@ -121,8 +167,8 @@ def _block_relation_transform(nodes_proj, wk_rel, em: EdgeStaticMeta):
     nodes_proj [T, C, H, dk] -> gathered per block by source type ->
     einsum with wk_rel[block_rel] [B, H, dk, dk] -> [B, C, H, dk].
     """
-    by_block = nodes_proj[em.block_src]          # [B, C, H, dk]
-    mats = wk_rel[em.block_rel]                   # [B, H, dk, dk]
+    by_block = _block_gather(nodes_proj, em.block_src)   # [B, C, H, dk]
+    mats = _block_gather(wk_rel, em.block_rel)           # [B, H, dk, dk]
     out = jnp.einsum(
         "bchk,bhkl->bchl", by_block, mats, preferred_element_type=jnp.float32
     )
@@ -143,8 +189,8 @@ def _rte_block_tables(rte_vec, w_proj, wk_rel, em: EdgeStaticMeta, H, dk):
     )
     L = rte_vec.shape[0]
     per_type = per_type.reshape(per_type.shape[0], L, H, dk)
-    by_block = per_type[em.block_src]             # [B, L, H, dk]
-    mats = wk_rel[em.block_rel]                   # [B, H, dk, dk]
+    by_block = _block_gather(per_type, em.block_src)     # [B, L, H, dk]
+    mats = _block_gather(wk_rel, em.block_rel)           # [B, H, dk, dk]
     out = jnp.einsum(
         "blhk,bhkm->blhm", by_block, mats, preferred_element_type=jnp.float32
     )

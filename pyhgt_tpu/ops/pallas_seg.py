@@ -48,7 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tile (K) and output-block (W) sizes. W >= K guarantees the output block
 # index advances by at most 1 per tile (see sorted_batch.pallas_seg_aux);
-# the one-hot width is K + W.
+# the one-hot width is K + W, so the kernel's MXU FLOPs are
+# 2·E·(K+W)·D and shrinking K/W cuts compute directly (the kernels run
+# compute-bound at ~164 TFLOP/s, probe9). The tab-window aux needs
+# K, W >= RTE_MAX_LEN = 240, so 256 is the floor; chosen by on-chip sweep.
 PK = 512
 PW = 512
 
@@ -65,12 +68,15 @@ class PallasSegAux:
     ``live_key [NB * W]``: segment id per output/live row (sentinel
     ``num_segments`` for dead rows) — drives the level-2 segmented max in
     :func:`segment_softmax_partials`'s combine.
+    ``w``: the output-block row count W this aux was built for (static —
+    part of the pytree structure, not a traced leaf).
     """
 
     loc: np.ndarray
     blk: np.ndarray
     ptr2: np.ndarray
     live_key: Optional[np.ndarray] = None
+    w: int = struct.field(pytree_node=False, default=512)
 
 
 def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
@@ -86,9 +92,10 @@ def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
         # entered a new output block: previous block's rows retire, the
-        # straddling rows (local offset >= W) become the new block's head
-        acc_ref[0:W, :] = acc_ref[W:, :]
-        acc_ref[W:, :] = jnp.zeros_like(acc_ref[W:, :])
+        # K straddling rows (local offset >= W) become the new block's
+        # head (K <= W, so the copy never overlaps its source)
+        acc_ref[0:K, :] = acc_ref[W:, :]
+        acc_ref[K:, :] = jnp.zeros_like(acc_ref[K:, :])
 
     @pl.when(t < n_tiles)
     def _():
@@ -117,11 +124,11 @@ def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
     out_ref[...] = acc_ref[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
-def _live_partials_call(blk, loc, data, *, precision, interpret):
+@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
+def _live_partials_call(blk, loc, data, *, w, precision, interpret):
     n_tiles, K = loc.shape
     D = data.shape[-1]
-    W = PW
+    W = w
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high" and data.dtype == jnp.float32
     kernel = functools.partial(_seg_kernel, K, W, n_tiles, split)
@@ -178,10 +185,10 @@ def _seg_kernel_pair(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
 
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
-        a1_ref[0:W, :] = a1_ref[W:, :]
-        a1_ref[W:, :] = jnp.zeros_like(a1_ref[W:, :])
-        a2_ref[0:W, :] = a2_ref[W:, :]
-        a2_ref[W:, :] = jnp.zeros_like(a2_ref[W:, :])
+        a1_ref[0:K, :] = a1_ref[W:, :]
+        a1_ref[K:, :] = jnp.zeros_like(a1_ref[K:, :])
+        a2_ref[0:K, :] = a2_ref[W:, :]
+        a2_ref[K:, :] = jnp.zeros_like(a2_ref[K:, :])
 
     @pl.when(t < n_tiles)
     def _():
@@ -208,11 +215,11 @@ def _seg_kernel_pair(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
     o2_ref[...] = a2_ref[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
-def _live_partials_pair_call(blk, loc, d1, d2, *, precision, interpret):
+@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
+def _live_partials_pair_call(blk, loc, d1, d2, *, w, precision, interpret):
     n_tiles, K = loc.shape
     D = d1.shape[-1]
-    W = PW
+    W = w
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high" and d1.dtype == jnp.float32
     kernel = functools.partial(_seg_kernel_pair, K, W, n_tiles, split)
@@ -267,7 +274,7 @@ def live_partials_pair(d1, d2, aux: PallasSegAux, *, precision: str = "high",
         raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
     return _live_partials_pair_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), d1, d2,
-        precision=precision, interpret=interpret,
+        w=aux.w, precision=precision, interpret=interpret,
     )
 
 
@@ -284,10 +291,10 @@ def _softmax_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, att_ref,
 
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
-        m_acc[0:W, :] = m_acc[W:, :]
-        m_acc[W:, :] = jnp.zeros_like(m_acc[W:, :])
-        s_acc[0:W, :] = s_acc[W:, :]
-        s_acc[W:, :] = jnp.zeros_like(s_acc[W:, :])
+        m_acc[0:K, :] = m_acc[W:, :]
+        m_acc[K:, :] = jnp.zeros_like(m_acc[K:, :])
+        s_acc[0:K, :] = s_acc[W:, :]
+        s_acc[K:, :] = jnp.zeros_like(s_acc[K:, :])
 
     @pl.when(t < n_tiles)
     def _():
@@ -363,11 +370,11 @@ def _softmax_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, att_ref,
     s_out[...] = s_acc[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
-def _softmax_partials_call(blk, loc, att, *, precision, interpret):
+@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
+def _softmax_partials_call(blk, loc, att, *, w, precision, interpret):
     n_tiles, K = loc.shape
     H = att.shape[-1]
-    W = PW
+    W = w
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high"
     kernel = functools.partial(_softmax_kernel, K, W, n_tiles, split)
@@ -427,7 +434,7 @@ def segment_softmax_partials(att, aux: PallasSegAux, *,
         raise ValueError(f"att rows {E} != aux tiles {n_tiles} * {K}")
     return _softmax_partials_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), att,
-        precision=precision, interpret=interpret,
+        w=aux.w, precision=precision, interpret=interpret,
     )
 
 
@@ -527,8 +534,8 @@ def _seg_kernel_weighted(K, W, n_tiles, dk, split_hi_lo, blk_ref, loc_ref,
 
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
-        acc_ref[0:W, :] = acc_ref[W:, :]
-        acc_ref[W:, :] = jnp.zeros_like(acc_ref[W:, :])
+        acc_ref[0:K, :] = acc_ref[W:, :]
+        acc_ref[K:, :] = jnp.zeros_like(acc_ref[K:, :])
 
     @pl.when(t < n_tiles)
     def _():
@@ -557,11 +564,13 @@ def _seg_kernel_weighted(K, W, n_tiles, dk, split_hi_lo, blk_ref, loc_ref,
     out_ref[...] = acc_ref[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("dk", "precision", "interpret"))
-def _live_partials_weighted_call(blk, loc, w, v, *, dk, precision, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("dk", "wout", "precision", "interpret"))
+def _live_partials_weighted_call(blk, loc, w, v, *, dk, wout, precision,
+                                 interpret):
     n_tiles, K = loc.shape
     D = v.shape[-1]
-    W = PW
+    W = wout
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high" and v.dtype == jnp.float32
     kernel = functools.partial(_seg_kernel_weighted, K, W, n_tiles, dk, split)
@@ -616,7 +625,119 @@ def live_partials_weighted(w, v, dk: int, aux: PallasSegAux, *,
         raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
     return _live_partials_weighted_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), w, v,
-        dk=dk, precision=precision, interpret=interpret,
+        dk=dk, wout=aux.w, precision=precision, interpret=interpret,
+    )
+
+
+def _seg_kernel_slab(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
+                     d_ref, o1_ref, o2_ref, a1_ref, a2_ref):
+    """Two segment sums over the lane halves of ONE [K, 2D] input slab.
+
+    Same math as :func:`_seg_kernel_pair`, but the two tensors arrive
+    lane-concatenated: the caller pays ONE [E, 2D] HBM stream (and, in the
+    backward, ONE 2 KB-row permute-gather instead of two 1 KB-row ones —
+    permutes are row-size-bound, docs/PERF_NOTES.md round-2 probe p2).
+    The matmuls stay per-half (one [K, K+W] @ [K, 2D] pass measured slower
+    than two D-wide passes, probe6-f2)."""
+    t = pl.program_id(0)
+    cur = blk_ref[t]
+    prev = blk_ref[jnp.maximum(t - 1, 0)]
+
+    @pl.when(t == 0)
+    def _():
+        a1_ref[...] = jnp.zeros_like(a1_ref)
+        a2_ref[...] = jnp.zeros_like(a2_ref)
+
+    @pl.when(jnp.logical_and(t > 0, cur != prev))
+    def _():
+        a1_ref[0:K, :] = a1_ref[W:, :]
+        a1_ref[K:, :] = jnp.zeros_like(a1_ref[K:, :])
+        a2_ref[0:K, :] = a2_ref[W:, :]
+        a2_ref[K:, :] = jnp.zeros_like(a2_ref[K:, :])
+
+    @pl.when(t < n_tiles)
+    def _():
+        loc = loc_ref[0, 0, :].reshape(K, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        oh = (loc == col).astype(jnp.bfloat16)
+        D = d_ref.shape[-1] // 2
+        for sl, acc_ref in ((d_ref[:, :D], a1_ref), (d_ref[:, D:], a2_ref)):
+            hi = sl.astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                oh, hi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if split_hi_lo:
+                lo = (sl.astype(jnp.float32) - hi.astype(jnp.float32)
+                      ).astype(jnp.bfloat16)
+                part += jax.lax.dot_general(
+                    oh, lo, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_ref[...] += part
+
+    o1_ref[...] = a1_ref[0:W, :]
+    o2_ref[...] = a2_ref[0:W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
+def _live_partials_slab_call(blk, loc, data, *, w, precision, interpret):
+    n_tiles, K = loc.shape
+    D2 = data.shape[-1]
+    D = D2 // 2
+    W = w
+    NB = blk.shape[0] - n_tiles + 1
+    split = precision == "high" and data.dtype == jnp.float32
+    kernel = functools.partial(_seg_kernel_slab, K, W, n_tiles, split)
+    loc3 = loc.reshape(n_tiles, 1, K)
+    out_spec = pl.BlockSpec((W, D), lambda t, b: (b[t], 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(blk.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 1, K),
+                         lambda t, b: (jnp.minimum(t, n_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D2), lambda t, b: (jnp.minimum(t, n_tiles - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        scratch_shapes=[pltpu.VMEM((K + W, D), jnp.float32),
+                        pltpu.VMEM((K + W, D), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NB * W, D), jnp.float32),
+                   jax.ShapeDtypeStruct((NB * W, D), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * K * (K + W) * D2 * (2 if split else 1),
+            bytes_accessed=data.size * data.dtype.itemsize
+            + 2 * NB * W * D * 4,
+            transcendentals=0,
+        ),
+    )(blk, loc3, data)
+
+
+def live_partials_slab(data, aux: PallasSegAux, *, precision: str = "high",
+                       interpret: Optional[bool] = None):
+    """Per-(tile, local-segment) partial sums of the two lane halves of
+    sorted ``data [E, 2D]`` under one grouping — one grid pass, one HBM
+    stream, shared one-hot. Returns ``(p1, p2)``, each ``[NB * W, D]`` as
+    :func:`live_partials` would for the corresponding half."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E, D2 = data.shape
+    if D2 % 256:
+        raise ValueError(f"slab lanes {D2} must split into 128-aligned halves")
+    n_tiles, K = aux.loc.shape
+    if E != n_tiles * K:
+        raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
+    return _live_partials_slab_call(
+        jnp.asarray(aux.blk), jnp.asarray(aux.loc), data,
+        w=aux.w, precision=precision, interpret=interpret,
     )
 
 
@@ -641,5 +762,5 @@ def live_partials(data, aux: PallasSegAux, *, precision: str = "high",
         raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
     return _live_partials_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), data,
-        precision=precision, interpret=interpret,
+        w=aux.w, precision=precision, interpret=interpret,
     )

@@ -304,6 +304,18 @@ def _head_expand(w, H, dk):
     )
 
 
+def _head_mat2(H, dk):
+    """[2H, 2D] block-diagonal head-expand map: ``[coef ‖ w] @ _head_mat2``
+    equals ``[_head_expand(coef) ‖ _head_expand(w)]`` in one matmul — the
+    lane-concatenated ('slab') backward's broadcast (see _edge_bwd)."""
+    m = _head_mat(H, dk).T                       # [H, D]
+    z = jnp.zeros_like(m)
+    return jnp.concatenate(
+        [jnp.concatenate([m, z], axis=1), jnp.concatenate([z, m], axis=1)],
+        axis=0,
+    )
+
+
 # --------------------------------------------------------------- edge stage
 def _rows(table, idx):
     # indices are host-constructed and in-bounds by contract; skip XLA's
@@ -493,64 +505,108 @@ def _edge_bwd(dims, res, g_aggr):
             g_v_tab = jnp.zeros_like(v_tab)
     else:
         src_direct = len(dims) > 7 and dims[7]
-        if src_direct:
-            # hybrid: build g_k/g_v natively in src order — coef/w permute
-            # narrow [E, H], the wide reads are reuse-heavy [N, D]-table
-            # gathers at tgt_src_order. Skips the tgt-order q_e gather AND
-            # both [E, D] src permutes (3 wide passes -> 2). Only pays off
-            # now that the tab grouping also rides the src-ordered tensors
-            # (full recompute of BOTH orders measured slower, see
-            # docs/PERF_NOTES.md).
-            coef_s = _head_expand(_rows(coef, se.perm_src), H, dk)
-            w_s = _head_expand(_rows(w, se.perm_src), H, dk)
-            q_s = _rows(q_n.astype(dt), se.tgt_src_order).astype(jnp.float32)
-            gm_s = _rows(g_aggr_l, se.tgt_src_order).astype(jnp.float32)
-            gk_src = (coef_s * q_s).astype(dt)
-            gv_src = (w_s * gm_s).astype(dt)
-        else:
-            # permute strategy: one product per tensor, fused into the
-            # permute; the paired kernel shares the grid pass + one-hot
-            # per grouping
-            q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32)
-            g_k_e = (_head_expand(coef, H, dk) * q_e).astype(dt)
-            g_v_e = (_head_expand(w, H, dk) * g_msg_f).astype(dt)
-            gk_src = _rows(g_k_e, se.perm_src)
-            gv_src = _rows(g_v_e, se.perm_src)
-        g_k_rel, g_v_rel = _seg_sum_grouped_pair(
-            gk_src, gv_src, se, "src", seg_pallas
-        )
-        if use_rte:
-            ptab = getattr(se, "ptab_src", None)
-            if _pallas_ok(gk_src, ptab, seg_pallas):
-                # tab-window kernel: the RTE-table sums come straight off
-                # the src-ordered tensors (blocks are contiguous there, so
-                # (block, Δt) fits the 2W carry window) — the two [E, D]
-                # tab permutes vanish (sampling/sorted_batch.py aux)
-                from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+        bwd_slab = len(dims) > 8 and dims[8]
+        paux_src = getattr(se, "pseg_src", None)
+        if (bwd_slab and not src_direct and seg_pallas
+                and paux_src is not None and D >= 128):
+            # 'slab' strategy: lane-concatenate the pair so the backward
+            # pays ONE [E, 2D] permute-gather instead of two [E, D] ones
+            # (permutes are row-size-bound: [E,1024]bf16 4.8 ms vs
+            # 2x[E,512] 6.6 ms, probe p2) and ONE node-table gather
+            # instead of two. Algebra identical to the permute strategy.
+            from pyhgt_tpu.ops.pallas_seg import live_partials_slab
 
-                l1, l2 = live_partials_pair(gk_src, gv_src, ptab)
-                g_k_tab = seg_sum_csr(l1, ptab.ptr2)
-                g_v_tab = seg_sum_csr(l2, ptab.ptr2)
-            elif src_direct:
-                # no window aux: rebuild the pair natively in tab order
-                # (same recipe as the src build above)
-                coef_t = _head_expand(_rows(coef, se.perm_tab), H, dk)
-                w_t = _head_expand(_rows(w, se.perm_tab), H, dk)
-                q_t = _rows(q_n.astype(dt), se.tgt_tab_order)
-                gm_t = _rows(g_aggr_l, se.tgt_tab_order)
-                g_k_tab, g_v_tab = _seg_sum_grouped_pair(
-                    (coef_t * q_t.astype(jnp.float32)).astype(dt),
-                    (w_t * gm_t.astype(jnp.float32)).astype(dt),
-                    se, "tab", seg_pallas,
-                )
+            table = jnp.concatenate([q_n.astype(dt), g_aggr_l], axis=1)
+            qgm = _rows(table, se.edge_tgt).astype(jnp.float32)  # [E, 2D]
+            cw = jnp.concatenate([coef, w], axis=1)              # [E, 2H]
+            cw_exp = jnp.matmul(
+                cw, _head_mat2(H, dk),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            g_kv_e = (cw_exp * qgm).astype(dt)                   # [E, 2D]
+            g_kv_src = _rows(g_kv_e, se.perm_src)                # 1 permute
+            l1, l2 = live_partials_slab(g_kv_src, paux_src)
+            g_k_rel = seg_sum_csr(l1, paux_src.ptr2)
+            g_v_rel = seg_sum_csr(l2, paux_src.ptr2)
+            if use_rte:
+                ptab = getattr(se, "ptab_src", None)
+                if ptab is not None:
+                    t1, t2 = live_partials_slab(g_kv_src, ptab)
+                    g_k_tab = seg_sum_csr(t1, ptab.ptr2)
+                    g_v_tab = seg_sum_csr(t2, ptab.ptr2)
+                else:
+                    ptab2 = se.pseg_tab
+                    t1, t2 = live_partials_slab(
+                        _rows(g_kv_e, se.perm_tab), ptab2)
+                    g_k_tab = seg_sum_csr(t1, ptab2.ptr2)
+                    g_v_tab = seg_sum_csr(t2, ptab2.ptr2)
             else:
-                g_k_tab, g_v_tab = _seg_sum_grouped_pair(
-                    _rows(g_k_e, se.perm_tab), _rows(g_v_e, se.perm_tab),
-                    se, "tab", seg_pallas,
-                )
+                g_k_tab = jnp.zeros_like(k_tab)
+                g_v_tab = jnp.zeros_like(v_tab)
         else:
-            g_k_tab = jnp.zeros_like(k_tab)
-            g_v_tab = jnp.zeros_like(v_tab)
+            if src_direct:
+                # hybrid: build g_k/g_v natively in src order — coef/w
+                # permute narrow [E, H], the wide reads are reuse-heavy
+                # [N, D]-table gathers at tgt_src_order. Skips the
+                # tgt-order q_e gather AND both [E, D] src permutes
+                # (3 wide passes -> 2). Only pays off now that the tab
+                # grouping also rides the src-ordered tensors (full
+                # recompute of BOTH orders measured slower, see
+                # docs/PERF_NOTES.md).
+                coef_s = _head_expand(_rows(coef, se.perm_src), H, dk)
+                w_s = _head_expand(_rows(w, se.perm_src), H, dk)
+                q_s = _rows(
+                    q_n.astype(dt), se.tgt_src_order
+                ).astype(jnp.float32)
+                gm_s = _rows(g_aggr_l, se.tgt_src_order).astype(jnp.float32)
+                gk_src = (coef_s * q_s).astype(dt)
+                gv_src = (w_s * gm_s).astype(dt)
+            else:
+                # permute strategy: one product per tensor, fused into the
+                # permute; the paired kernel shares the grid pass + one-hot
+                # per grouping
+                q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32)
+                g_k_e = (_head_expand(coef, H, dk) * q_e).astype(dt)
+                g_v_e = (_head_expand(w, H, dk) * g_msg_f).astype(dt)
+                gk_src = _rows(g_k_e, se.perm_src)
+                gv_src = _rows(g_v_e, se.perm_src)
+            g_k_rel, g_v_rel = _seg_sum_grouped_pair(
+                gk_src, gv_src, se, "src", seg_pallas
+            )
+            if use_rte:
+                ptab = getattr(se, "ptab_src", None)
+                if _pallas_ok(gk_src, ptab, seg_pallas):
+                    # tab-window kernel: the RTE-table sums come straight
+                    # off the src-ordered tensors (blocks are contiguous
+                    # there, so (block, Δt) fits the 2W carry window) —
+                    # the two [E, D] tab permutes vanish
+                    # (sampling/sorted_batch.py aux)
+                    from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+
+                    l1, l2 = live_partials_pair(gk_src, gv_src, ptab)
+                    g_k_tab = seg_sum_csr(l1, ptab.ptr2)
+                    g_v_tab = seg_sum_csr(l2, ptab.ptr2)
+                elif src_direct:
+                    # no window aux: rebuild the pair natively in tab
+                    # order (same recipe as the src build above)
+                    coef_t = _head_expand(_rows(coef, se.perm_tab), H, dk)
+                    w_t = _head_expand(_rows(w, se.perm_tab), H, dk)
+                    q_t = _rows(q_n.astype(dt), se.tgt_tab_order)
+                    gm_t = _rows(g_aggr_l, se.tgt_tab_order)
+                    g_k_tab, g_v_tab = _seg_sum_grouped_pair(
+                        (coef_t * q_t.astype(jnp.float32)).astype(dt),
+                        (w_t * gm_t.astype(jnp.float32)).astype(dt),
+                        se, "tab", seg_pallas,
+                    )
+                else:
+                    g_k_tab, g_v_tab = _seg_sum_grouped_pair(
+                        _rows(g_k_e, se.perm_tab), _rows(g_v_e, se.perm_tab),
+                        se, "tab", seg_pallas,
+                    )
+            else:
+                g_k_tab = jnp.zeros_like(k_tab)
+                g_v_tab = jnp.zeros_like(v_tab)
 
     def f0_like(leaf):
         if jnp.issubdtype(leaf.dtype, jnp.inexact):
@@ -587,6 +643,8 @@ def hgt_conv_core_sorted(
     # _edge_fwd_impl: standalone win, full-step loss — experimental)
     bwd_src_direct: bool = False,  # hybrid backward: build the src-grouped
     # g_k/g_v pair natively in src order (see _edge_bwd)
+    bwd_slab: bool = False,  # lane-concatenated backward: ONE [E, 2D]
+    # permute + slab pair kernel instead of two [E, D] permutes
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
     target-sorted layout — scatter-free forward and backward. ``save_kv``
@@ -644,7 +702,7 @@ def hgt_conv_core_sorted(
     aggr = hgt_edge_stage(
         q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
         (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
-         softmax_pallas, bwd_src_direct), se,
+         softmax_pallas, bwd_src_direct, bwd_slab), se,
     )
     return aggr.reshape(T, C, Dout).astype(x.dtype)
 

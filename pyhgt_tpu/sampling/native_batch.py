@@ -146,7 +146,7 @@ def tab_window_aux(tab_src_order: np.ndarray, num_blocks: int, L: int,
         return None
     s = np.arange(num_blocks * L + 1)
     ptr2 = ((s // L) * W + s % L).astype(np.int32)
-    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2)
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W)
 
 
 def pallas_aux(key_sorted: np.ndarray, num_segments: int, K: int, W: int):
@@ -169,4 +169,4 @@ def pallas_aux(key_sorted: np.ndarray, num_segments: int, K: int, W: int):
     if n < 0:
         raise ValueError("live rows exceed NB*W")
     return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
-                        live_key=live_key_ext)
+                        live_key=live_key_ext, w=W)

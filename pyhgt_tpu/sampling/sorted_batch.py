@@ -30,7 +30,8 @@ import numpy as np
 from flax import struct
 
 from pyhgt_tpu.ops.hgt import EdgeStaticMeta
-from pyhgt_tpu.ops.pallas_seg import PK, PW, PallasSegAux
+from pyhgt_tpu.ops.pallas_seg import PK as _DEF_PK, PW as _DEF_PW, PallasSegAux
+from pyhgt_tpu.ops.pallas_seg import PK, PW  # re-export (default tile sizes)
 from pyhgt_tpu.ops.rte import RTE_MAX_LEN
 from pyhgt_tpu.sampling.batch import BatchLayout, SubgraphBatch
 
@@ -129,7 +130,7 @@ def pallas_seg_aux(key_sorted: np.ndarray, num_segments: int,
     live_key_ext = np.full(NB * W, num_segments, dtype=np.int32)
     live_key_ext[: len(pos)] = live_key
     return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
-                        live_key=live_key_ext)
+                        live_key=live_key_ext, w=W)
 
 
 def pallas_tab_window_aux(
@@ -174,7 +175,7 @@ def pallas_tab_window_aux(
     blk_ext = np.concatenate([blk, tail]).astype(np.int32)
     s = np.arange(num_blocks * L + 1)
     ptr2 = ((s // L) * W + s % L).astype(np.int32)
-    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2)
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W)
 
 
 def _tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int = REDUCE_TILE):
@@ -223,10 +224,12 @@ def sort_batch(
     num_relations: Optional[int] = None,
     build_pallas_aux: bool = True,
     native: Optional[bool] = None,
+    pk: Optional[int] = None,
+    pw: Optional[int] = None,
 ) -> SortedEdges:
     return sort_edges(
         batch.edge_src, batch.edge_tgt, batch.edge_dt, batch.edge_mask,
-        layout, em, num_relations, build_pallas_aux, native,
+        layout, em, num_relations, build_pallas_aux, native, pk, pw,
     )
 
 
@@ -258,6 +261,8 @@ def sort_edges(
     num_relations: Optional[int] = None,
     build_pallas_aux: bool = True,
     native: Optional[bool] = None,
+    pk: Optional[int] = None,
+    pw: Optional[int] = None,
 ) -> SortedEdges:
     """Edge-arrays-only entry: callers holding flat edge arrays (e.g. the
     evaluator's forward wrapper) need not fabricate a full SubgraphBatch.
@@ -266,7 +271,14 @@ def sort_edges(
     (native/sortbatch.cpp: stable counting sorts + one-pass aux builders,
     ~7x over the numpy path at bench scale) when its library builds;
     ``False`` forces the numpy reference semantics (outputs are
-    bit-identical either way — tests/test_sorted_batch_native.py)."""
+    bit-identical either way — tests/test_sorted_batch_native.py).
+
+    ``pk``/``pw`` override the Pallas kernel tile / output-block sizes
+    (default: module constants ``ops.pallas_seg.PK/PW``; both must be
+    multiples of ``REDUCE_TILE`` and >= RTE_MAX_LEN for the tab window)."""
+    PK = pk or _DEF_PK
+    PW = pw or (pk or _DEF_PW)
+    assert PK % REDUCE_TILE == 0, (PK, REDUCE_TILE)
     nb = _native_batch() if native in (None, True) else None
     if native is True and nb is None:
         raise RuntimeError("native batch prep requested but unavailable")
@@ -374,12 +386,16 @@ def sort_edges(
             pseg_tgt = nb.pallas_aux(key, N, PK, PW)
             pseg_src = nb.pallas_aux(key_src_sorted, B * C, PK, PW)
             pseg_tab = nb.pallas_aux(key_tab_sorted, B * L, PK, PW)
-            ptab_src = nb.tab_window_aux(tabidx[perm_src], B, L, PK, PW)
+            ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, L, PK, PW)
+                        if min(PK, PW) >= L else None)
         else:
-            pseg_tgt = pallas_seg_aux(key, N)
-            pseg_src = pallas_seg_aux(key_src_sorted.astype(np.int64), B * C)
-            pseg_tab = pallas_seg_aux(key_tab_sorted.astype(np.int64), B * L)
-            ptab_src = pallas_tab_window_aux(tabidx[perm_src], B, L)
+            pseg_tgt = pallas_seg_aux(key, N, PK, PW)
+            pseg_src = pallas_seg_aux(
+                key_src_sorted.astype(np.int64), B * C, PK, PW)
+            pseg_tab = pallas_seg_aux(
+                key_tab_sorted.astype(np.int64), B * L, PK, PW)
+            ptab_src = (pallas_tab_window_aux(tabidx[perm_src], B, L, PK, PW)
+                        if min(PK, PW) >= L else None)
 
     if safe_tgt_n is not None:
         safe_tgt = safe_tgt_n

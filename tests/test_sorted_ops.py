@@ -87,7 +87,9 @@ def test_sorted_matches_reference_path(env, use_rte):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("edge_bwd", ["permute", "recompute", "src_direct"])
+@pytest.mark.parametrize(
+    "edge_bwd", ["permute", "recompute", "src_direct", "slab"]
+)
 def test_sorted_gradients_match(env, edge_bwd):
     layout, em, batch, se = env
     T, C = layout.num_types, layout.node_cap
@@ -112,7 +114,12 @@ def test_sorted_gradients_match(env, edge_bwd):
         out = hgt_conv_core_sorted(
             x, se, em, n_heads=H, rte_vec=rte_vec,
             bwd_recompute=edge_bwd == "recompute",
-            bwd_src_direct=edge_bwd == "src_direct", **params
+            bwd_src_direct=edge_bwd == "src_direct",
+            bwd_slab=edge_bwd == "slab",
+            # the slab strategy only engages on the Pallas path (it IS a
+            # Pallas kernel variant); D=24 < 128 would fall back, so run
+            # this config through the full-width check below instead
+            seg_pallas=edge_bwd == "slab", **params
         )
         return jnp.sum(out * tgt)
 
@@ -125,6 +132,84 @@ def test_sorted_gradients_match(env, edge_bwd):
         np.testing.assert_allclose(
             np.asarray(g_sort[0][k]), np.asarray(g_ref[0][k]),
             rtol=5e-3, atol=5e-4, err_msg=k,
+        )
+
+
+@pytest.mark.parametrize("pk", [None, 256])
+def test_slab_backward_wide_matches_permute(env, pk):
+    """edge_bwd='slab' (lane-concatenated single-permute backward) and the
+    non-default Pallas tile size produce the same values/grads as the
+    default permute strategy at a slab-eligible width (D >= 128)."""
+    layout, em, batch, _ = env
+    se = sort_batch(batch, layout, em, pk=pk)
+    assert se.pseg_src is not None
+    T, C = layout.num_types, layout.node_cap
+    Din, Dout, H = 24, 128, 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(5)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, slab):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec, seg_pallas=True,
+            bwd_slab=slab, **params,
+        )
+        return jnp.sum(out * tgt)
+
+    lp, gp = jax.value_and_grad(loss, argnums=(0, 1))(P, x, False)
+    ls, gs = jax.value_and_grad(loss, argnums=(0, 1))(P, x, True)
+    np.testing.assert_allclose(float(ls), float(lp), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gs[1]), np.asarray(gp[1]), rtol=2e-3, atol=2e-4
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(gs[0][k]), np.asarray(gp[0][k]),
+            rtol=2e-3, atol=2e-4, err_msg=k,
+        )
+
+
+def test_onehot_block_backward_matches_scatter(env):
+    """ONEHOT_BWD (scatter-free transpose of the static block gathers)
+    leaves forward values untouched and matches XLA's scatter-add grads."""
+    from pyhgt_tpu.ops import hgt as hgt_mod
+
+    layout, em, batch, se = env
+    T, C = layout.num_types, layout.node_cap
+    Din = Dout = 24
+    H = 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(9)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec, **params
+        )
+        return jnp.sum(out * tgt)
+
+    old = hgt_mod.ONEHOT_BWD
+    try:
+        hgt_mod.ONEHOT_BWD = False
+        l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P, x)
+        hgt_mod.ONEHOT_BWD = True
+        l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P, x)
+    finally:
+        hgt_mod.ONEHOT_BWD = old
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=1e-5, atol=1e-6
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
         )
 
 
