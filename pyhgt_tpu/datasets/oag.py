@@ -48,19 +48,16 @@ TEST_TIME_BAR = 2016
 XLNET_DIM = 768
 
 
-def xlnet_title_embedder(device: str = "cpu", batch_hint: int = 1) -> Callable:
-    """The reference's XLNet featurizer (``:82-102``): attention-weighted
-    2nd-to-last hidden states over the first 64 title tokens. Returns
-    ``None`` for titles shorter than 4 tokens (the reference skips them).
-    Gated on the transformers package."""
+def make_title_embedder(model, tokenizer, device: str = "cpu") -> Callable:
+    """The reference featurizer's pooling math (``OAG/preprocess_OAG.py:
+    82-102``), model-agnostic: attention-weighted 2nd-to-last hidden
+    states over the first 64 title tokens. ``model(ids)`` must expose the
+    transformers tuple API — ``out[-2]`` = per-layer hidden states,
+    ``out[-1]`` = per-layer attentions (any model with
+    ``output_hidden_states/output_attentions`` works; the test suite
+    drives it with a tiny mock). Returns ``None`` for titles shorter
+    than 4 tokens (the reference skips them)."""
     import torch
-    from transformers import XLNetModel, XLNetTokenizer
-
-    tokenizer = XLNetTokenizer.from_pretrained("xlnet-base-cased")
-    model = XLNetModel.from_pretrained(
-        "xlnet-base-cased", output_hidden_states=True, output_attentions=True
-    ).to(device)
-    model.eval()
 
     def embed(title: str):
         ids = torch.tensor([tokenizer.encode(title)]).to(device)[:, :64]
@@ -75,6 +72,20 @@ def xlnet_title_embedder(device: str = "cpu", batch_hint: int = 1) -> Callable:
         return rep.cpu().numpy()
 
     return embed
+
+
+def xlnet_title_embedder(device: str = "cpu", batch_hint: int = 1) -> Callable:
+    """The reference's XLNet featurizer (``:82-102``): pretrained
+    xlnet-base-cased through :func:`make_title_embedder`. Gated on the
+    transformers package + downloadable weights."""
+    from transformers import XLNetModel, XLNetTokenizer
+
+    tokenizer = XLNetTokenizer.from_pretrained("xlnet-base-cased")
+    model = XLNetModel.from_pretrained(
+        "xlnet-base-cased", output_hidden_states=True, output_attentions=True
+    ).to(device)
+    model.eval()
+    return make_title_embedder(model, tokenizer, device)
 
 
 def _read_tsv(path: str, skip_header: bool = True):
@@ -127,6 +138,19 @@ def preprocess_oag(
             if emb is not None:
                 node["emb"] = np.asarray(emb, dtype=np.float32)
     else:  # offline-stub: zero embeddings, same shapes
+        import warnings
+
+        msg = (
+            "preprocess_oag: no title_embedder given — paper 'emb' columns "
+            f"are ZERO stubs ({emb_dim}-d). The reference pipeline fills "
+            "them with XLNet attention-pooled title embeddings "
+            "(OAG/preprocess_OAG.py:82-102); models trained on stubbed "
+            "features will differ materially. Pass "
+            "title_embedder=xlnet_title_embedder() (needs downloadable "
+            "weights) or any make_title_embedder-compatible callable."
+        )
+        warnings.warn(msg, stacklevel=2)
+        log(f"WARNING: {msg}")
         for node in paper_nodes.values():
             node["emb"] = np.zeros(emb_dim, dtype=np.float32)
 
