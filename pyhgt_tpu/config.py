@@ -81,6 +81,14 @@ class ExperimentConfig:
                                        # devices, boundary stats psum over
                                        # ICI (parallel/edge_partition — the
                                        # SP analogue, SURVEY §2.9)
+    pp: int = 1                        # pipeline stages: the conv stack
+                                       # split over a 'pipe' mesh axis,
+                                       # GPipe microbatch schedule
+                                       # (parallel/pipeline); composes
+                                       # with dp; needs n_layers % pp == 0
+                                       # and prev_norm == last_norm
+    pp_micro: int = 0                  # microbatches per pp step
+                                       # (0 = 2*pp; bubble = (pp-1)/(M+pp-1))
 
     # -- eval -------------------------------------------------------------
     vr_num: int = 8                    # eval_ogbn_mag.py:95

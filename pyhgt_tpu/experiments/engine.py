@@ -103,6 +103,34 @@ def make_layout(
     return BatchLayout(schema=graph.schema, pad=pad)
 
 
+def _pp_parts(cfg: ExperimentConfig, layout: BatchLayout, em, head_loss,
+              steps_per_epoch: int):
+    """The task-side pipeline decomposition for :func:`make_exec`'s
+    ``cfg.pp`` branch: one-layer conv kwargs (homogeneous stack), layout
+    dims, the task head closure, and a tx rebuilder for the stacked
+    parameter tree."""
+    gk = gnn_kwargs(cfg, layout, cfg.n_hid)
+    conv_kwargs = dict(
+        conv_name=gk["conv_name"], in_dim=cfg.n_hid, out_dim=cfg.n_hid,
+        num_types=gk["num_types"], num_relations=gk["num_relations"],
+        n_heads=gk["n_heads"], dropout=gk["dropout"],
+        use_norm=cfg.prev_norm,  # == last_norm (checked in make_exec)
+        use_rte=gk["use_rte"], remat=gk["remat"],
+        edge_impl=gk["edge_impl"], save_kv=gk["save_kv"],
+        edge_bf16=gk["edge_bf16"], edge_bwd=gk["edge_bwd"],
+        seg_pallas=gk["seg_pallas"], softmax_pallas=gk["softmax_pallas"],
+        graph_axis="",
+    )
+    return dict(
+        conv_kwargs=conv_kwargs,
+        dims=(layout.num_types, layout.node_cap, cfg.n_hid),
+        em=em,
+        head_loss=head_loss,
+        n_layers=cfg.n_layers,
+        remake_tx=lambda p: make_tx(cfg, p, steps_per_epoch),
+    )
+
+
 def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
     return dict(
         in_dim=in_dim,
@@ -236,9 +264,62 @@ def _vmap_stacked_loss(loss_single):
     return loss
 
 
-def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
-    """Build the train step honoring ``cfg.dp`` / ``cfg.tp``
-    (SURVEY §2.9 — the reference has no distributed path at all).
+def _make_pp_exec(cfg: ExperimentConfig, pp_parts, state, dp: int, pp: int):
+    """The cfg.pp branch of :func:`make_exec`: GPipe over a ``pipe`` mesh
+    (optionally × ``data``), task head injected via ``pp_parts``."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from pyhgt_tpu.parallel.pipeline import (
+        DATA_AXIS as PP_DATA,
+        make_pipe_mesh,
+        make_pp_task_loss,
+        pipeline_param_shardings,
+        stack_pipeline_params,
+    )
+
+    n_micro = max(getattr(cfg, "pp_micro", 0), 0) or 2 * pp
+    devices = jax.devices()
+    if dp * pp > len(devices):
+        raise ValueError(f"dp={dp} x pp={pp} needs {dp * pp} devices, "
+                         f"have {len(devices)}")
+    if cfg.prev_norm != cfg.last_norm:
+        raise ValueError("pp needs a homogeneous conv stack: set "
+                         "prev_norm == last_norm")
+    if cfg.n_layers % pp:
+        raise ValueError(f"n_layers={cfg.n_layers} % pp={pp} != 0")
+    mesh = make_pipe_mesh(pp, n_data=dp, devices=devices[: dp * pp])
+    pp_params = stack_pipeline_params(state.params, pp_parts["n_layers"], pp)
+    tx = pp_parts["remake_tx"](pp_params)
+    state = TrainState.create(
+        jax.device_put(pp_params, pipeline_param_shardings(pp_params, mesh)),
+        tx,
+    )
+    coll = make_pp_task_loss(
+        pp_parts["conv_kwargs"], pp_parts["dims"], pp_parts["em"],
+        pp_parts["head_loss"], pp, n_micro, mesh, cfg.dropout,
+    )
+
+    def loss_like(params, rng, nf, es, et, dt, emk, nmk, se_stack, *labels):
+        return coll(params["stages"], params["shared"], rng,
+                    (nf, es, et, dt, emk, nmk), se_stack, labels)
+
+    step = make_train_step(loss_like, tx)
+    rep = NamedSharding(mesh, PartitionSpec())
+    dsh = NamedSharding(mesh, PartitionSpec(PP_DATA)) if dp > 1 else rep
+    loader_kw = dict(
+        stack=dp * n_micro, collate=_stack_items,
+        device=lambda item: _Item(
+            jax.tree.map(lambda _: dsh, item.tb),
+            jax.tree.map(lambda _: dsh, item.se),
+            item.n_edges, item.overflow,
+        ),
+    )
+    return step, loader_kw, state, mesh
+
+
+def make_exec(cfg: ExperimentConfig, loss_fn, tx, state, pp_parts=None):
+    """Build the train step honoring ``cfg.dp`` / ``cfg.tp`` / ``cfg.gp``
+    / ``cfg.pp`` (SURVEY §2.9 — the reference has no distributed path at
+    all).
 
     - dp>1, tp==1: shard_map'd **unbatched** program over the 'data' axis
       (vmap with a small leading axis pessimizes edge gathers ~20%,
@@ -246,9 +327,20 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
     - tp>1: GSPMD — head-axis-sharded parameter banks
       (:func:`pyhgt_tpu.parallel.mesh.param_shardings`) + vmap-stacked
       batch program; XLA inserts the collectives.
+    - pp>1: GPipe over a 'pipe' mesh (parallel/pipeline) — the conv stack
+      staged across devices, ``cfg.pp_micro`` (default 2·pp) microbatches
+      per optimizer step. Requires ``pp_parts`` from the runner (the
+      task's layer/head decomposition): a dict with ``conv_kwargs``
+      (one-layer GeneralConv kwargs), ``dims`` (num_types, node_cap,
+      n_hid), ``em``, ``head_loss(shared, h_out, m_idx, labels_tuple)``,
+      ``n_layers`` and ``remake_tx(params)``. Composes with dp
+      (each data shard pipelines its own microbatches); the returned
+      state holds params in PIPELINE (stacked) form — export with
+      :func:`pyhgt_tpu.parallel.pipeline.unstack_pipeline_params`.
 
     Returns ``(step, loader_kwargs, state, mesh)``; pass loader_kwargs to
-    PrefetchLoader so it stacks+shards dp subgraphs per yielded item.
+    PrefetchLoader so it stacks+shards dp subgraphs (or pp·dp
+    microbatches) per yielded item.
     """
     if cfg.param_bf16:
         # bf16 weight banks at apply time, f32 masters in the state — the
@@ -258,8 +350,18 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
         inner = loss_fn
         loss_fn = lambda params, *a, **k: inner(bf16_param_cast(params), *a, **k)
     dp, tp, gp = max(cfg.dp, 1), max(cfg.tp, 1), max(cfg.gp, 1)
-    if dp == 1 and tp == 1 and gp == 1:
+    pp = max(getattr(cfg, "pp", 1), 1)
+    if dp == 1 and tp == 1 and gp == 1 and pp == 1:
         return make_train_step(loss_fn, tx), {}, state, None
+    if pp > 1:
+        if tp > 1 or gp > 1:
+            raise ValueError("pp composes with dp only (pp x tp / pp x gp "
+                             "not wired; see SURVEY §2.9 notes)")
+        if pp_parts is None:
+            raise ValueError("cfg.pp > 1 needs the task's pipeline "
+                             "decomposition (this runner does not "
+                             "support pipeline parallelism)")
+        return _make_pp_exec(cfg, pp_parts, state, dp=dp, pp=pp)
     from jax.sharding import NamedSharding, PartitionSpec
     from pyhgt_tpu.parallel.mesh import (
         GRAPH_AXIS,
@@ -279,10 +381,26 @@ def make_exec(cfg: ExperimentConfig, loss_fn, tx, state):
         # edge-partitioned step (SP analogue): one oversized subgraph's
         # edges split over the 'graph' axis; params + node tensors
         # replicated along it, boundary stats psum over ICI per layer.
-        # Composes with dp (batch leading axis over 'data'); tp is not
-        # wired with gp.
+        # Composes with dp (batch leading axis over 'data').
         if tp > 1:
-            raise ValueError("gp>1 does not compose with tp>1")
+            # Design decision, not a TODO: gp's shard_map is a MANUAL
+            # per-device program, so composing tp would require
+            # hand-written head-axis collectives inside it (GSPMD param
+            # shardings do not propagate into shard_map bodies). There is
+            # no capacity case to pay that for: tp exists to split
+            # parameter/optimizer memory, and at the flagship recipe that
+            # is 20.7M params x 12 B (param+mu+nu) ~= 250 MB = 1.5% of a
+            # 16 GB chip — while gp exists because the PER-EDGE tensors
+            # (~230 MB x several per layer at bench scale) outgrow HBM
+            # with big batches. Edge memory scales with batch, param
+            # memory does not; shard the former with gp x dp and leave
+            # params replicated. (dp x tp IS wired for the GSPMD path.)
+            raise ValueError(
+                "gp>1 does not compose with tp>1 by design: tp shards "
+                "parameter memory (~1.5% of HBM at reference scale) while "
+                "gp shards the per-edge tensors that actually bind; use "
+                "dp x gp (or dp x tp without gp). See make_exec source."
+            )
         from pyhgt_tpu.parallel.spmd import make_gp_train_step
         from pyhgt_tpu.parallel.mesh import DATA_AXIS
 
@@ -416,7 +534,34 @@ def run_node_classification(
             if multi_label else nll_loss(logp, labels, mask=lmask)
         )
 
-    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state)
+    pp_parts = None
+    if cfg.pp > 1:
+        from jax import lax
+
+        from pyhgt_tpu.models.model import Classifier
+        from pyhgt_tpu.train.step import kl_div_loss as _kl, nll_loss as _nll
+
+        _clf = Classifier(n_out=task.n_classes)
+        _tid, _ns = layout.schema.type_id(target_type), cfg.batch_size
+
+        def head_loss(shared, h_out, m_idx, labels2):
+            y = lax.dynamic_index_in_dim(labels2[0], m_idx, 0, keepdims=False)
+            lm = lax.dynamic_index_in_dim(labels2[1], m_idx, 0, keepdims=False)
+            logp = _clf.apply({"params": shared["clf"]}, h_out[_tid][:_ns])
+            return (_kl(logp, y, mask=lm) if multi_label
+                    else _nll(logp, y, mask=lm))
+
+        pp_parts = _pp_parts(cfg, layout, em, head_loss,
+                             cfg.n_batch * cfg.repeat)
+
+    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state,
+                                             pp_parts=pp_parts)
+    if cfg.pp > 1:
+        from pyhgt_tpu.parallel.pipeline import unstack_pipeline_params
+
+        eval_p = lambda p: unstack_pipeline_params(p, cfg.n_layers)
+    else:
+        eval_p = lambda p: p
     fwd = jax.jit(
         lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
             p, nf, es, et, dt, emk, nmk, em, se=se
@@ -426,7 +571,7 @@ def run_node_classification(
     def eval_metrics(state, pairs_, split_, rng):
         tb = task.sample(pairs_, split_, rng)
         args, _ = to_args(tb)
-        logp = np.asarray(fwd(state.params, *args))
+        logp = np.asarray(fwd(eval_p(state.params), *args))
         live = tb.label_mask
         if multi_label:
             rel = (np.asarray(tb.labels) > 0).astype(np.float64)
@@ -562,7 +707,33 @@ def run_ogbn(
         )
         return nll_loss(logp, labels, mask=lmask)
 
-    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state)
+    pp_parts = None
+    if cfg.pp > 1:
+        from jax import lax
+
+        from pyhgt_tpu.models.model import Classifier
+        from pyhgt_tpu.train.step import nll_loss as _nll
+
+        _clf = Classifier(n_out=task.n_classes)
+        _tid = layout.schema.type_id(task.target_type)
+
+        def head_loss(shared, h_out, m_idx, labels2):
+            y = lax.dynamic_index_in_dim(labels2[0], m_idx, 0, keepdims=False)
+            lm = lax.dynamic_index_in_dim(labels2[1], m_idx, 0, keepdims=False)
+            logp = _clf.apply({"params": shared["clf"]}, h_out[_tid])
+            return _nll(logp, y, mask=lm)
+
+        pp_parts = _pp_parts(cfg, layout, em, head_loss,
+                             cfg.n_batch * cfg.repeat)
+
+    step, loader_kw, state, mesh = make_exec(cfg, loss_fn, tx, state,
+                                             pp_parts=pp_parts)
+    if cfg.pp > 1:
+        from pyhgt_tpu.parallel.pipeline import unstack_pipeline_params
+
+        eval_p = lambda p: unstack_pipeline_params(p, cfg.n_layers)
+    else:
+        eval_p = lambda p: p
     fwd = jax.jit(
         lambda p, nf, es, et, dt, emk, nmk, se: model.apply(
             p, nf, es, et, dt, emk, nmk, em, se=se
@@ -622,7 +793,8 @@ def run_ogbn(
                     rng_eval, split="valid",
                 )
                 vse = sort_batch(vtb.sub, layout, em)
-                logp = np.asarray(fwd(state.params, *vtb.batch_args, vse))
+                logp = np.asarray(
+                    fwd(eval_p(state.params), *vtb.batch_args, vse))
                 accs.append(task.accuracy(logp, np.asarray(vtb.labels),
                                           np.asarray(vtb.label_mask)))
             vacc = float(np.mean(accs))
@@ -649,7 +821,7 @@ def run_ogbn(
         return fwd(params, *bargs, se)
 
     vr = multi_sample_eval(
-        eval_forward, state.params, task, split="test",
+        eval_forward, eval_p(state.params), task, split="test",
         batch_size=cfg.batch_size,
         vr_num=cfg.vr_num if eval_mode == "variance_reduce" else 1,
         rng=np.random.default_rng(cfg.seed + 3),

@@ -74,11 +74,14 @@ def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
 
 
 def stack_pipeline_params(params, n_layers: int, n_stages: int):
-    """FlagshipModel flax tree -> ``{"stages": [S, L/S, ...], "shared"}``.
+    """Task-model flax tree -> ``{"stages": [S, L/S, ...], "shared"}``.
 
-    ``stages`` stacks the ``gnn/convs_i`` subtrees (identical structure —
-    homogeneous norm config required); ``shared`` carries the input
-    adapters + classifier head, replicated on every stage (tiny)."""
+    Works for any composite with a ``gnn`` submodule holding ``convs_i``
+    subtrees (FlagshipModel, NodeClassifierModel, LinkMatcherModel):
+    ``stages`` stacks the conv subtrees (identical structure — homogeneous
+    norm config required); ``shared`` carries the input adapters plus
+    every non-``gnn`` head subtree (clf / matcher), replicated on every
+    stage (tiny)."""
     if n_layers % n_stages:
         raise ValueError(f"n_layers={n_layers} not divisible by "
                          f"n_stages={n_stages}")
@@ -94,8 +97,10 @@ def stack_pipeline_params(params, n_layers: int, n_stages: int):
     shared = {
         "adapt_w": p["gnn"]["adapt_w"],
         "adapt_b": p["gnn"]["adapt_b"],
-        "clf": p["clf"],
     }
+    for k, v in p.items():
+        if k != "gnn":
+            shared[k] = v
     return {"stages": stages, "shared": shared}
 
 
@@ -113,7 +118,9 @@ def unstack_pipeline_params(pp_params, n_layers: int):
     }
     for i in range(n_layers):
         gnn[f"convs_{i}"] = jax.tree.map(lambda a: a[i], flat)
-    return {"params": {"gnn": gnn, "clf": shared["clf"]}}
+    heads = {k: v for k, v in shared.items()
+             if k not in ("adapt_w", "adapt_b")}
+    return {"params": {"gnn": gnn, **heads}}
 
 
 def pipeline_param_shardings(pp_params, mesh: Mesh):
@@ -133,41 +140,35 @@ def _dropout(x, rate: float, key, deterministic: bool):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
-                 deterministic: bool = False):
-    """Collective pipelined loss
-    ``loss(pp_params, rng, micro_args, se_stack, labels) -> scalar``.
+def make_pp_task_loss(conv_kwargs: dict, dims, em, head_loss,
+                      n_stages: int, n_micro: int, mesh: Mesh,
+                      dropout: float, deterministic: bool = False):
+    """Task-generic collective pipelined loss
+    ``loss(stages, shared, rng, micro_args, se_stack, labels) -> scalar``.
+
+    ``conv_kwargs``: :class:`~pyhgt_tpu.models.conv.GeneralConv` kwargs
+    for ONE layer (``use_norm`` already resolved — the stack must be
+    homogeneous). ``dims = (num_types, node_cap, n_hid)`` sizes the
+    bootstrap activation. ``head_loss(shared, h_out, m_idx, labels)``
+    computes the task loss for microbatch ``m_idx`` from the last-stage
+    activation ``h_out [T, C, D]`` and the stacked labels pytree —
+    classifier + KL/NLL for the node tasks, matcher scoring for links.
 
     ``micro_args`` are the 6 batch arrays with a leading ``[M]``
-    microbatch axis, ``se_stack`` the same for the SortedEdges pytree,
-    ``labels [M, n_seed]``. All replicated along ``pipe``; the stage
-    params arrive sharded. The returned callable must run under
-    ``jit`` (it contains a shard_map).
+    microbatch axis, ``se_stack`` the same for the SortedEdges pytree.
+    All replicated along ``pipe``; the stage params arrive sharded. The
+    returned callable must run under ``jit`` (it contains a shard_map).
 
     On a 2-D ``(data, pipe)`` mesh (dp×pp, :func:`make_pipe_mesh` with
     ``n_data > 1``) the microbatch leading axis must be ``[Dp*M]`` — it is
     sharded over ``data`` so each data shard pipelines its own ``M``
     microbatches; the returned loss is the mean over all ``Dp*M``."""
-    c = fl.cfg
-    if c.n_layers % n_stages:
-        raise ValueError(f"n_layers={c.n_layers} % n_stages={n_stages}")
     has_dp = DATA_AXIS in mesh.axis_names
     data_spec = P(DATA_AXIS) if has_dp else P()
-    conv = GeneralConv(
-        conv_name="hgt", in_dim=c.n_hid, out_dim=c.n_hid,
-        num_types=fl.schema.num_types,
-        num_relations=fl.schema.num_relations,
-        n_heads=c.n_heads, dropout=c.dropout,
-        # homogeneous stack: FlagshipModel uses prev_norm=last_norm=True
-        use_norm=True, use_rte=True, remat=c.remat,
-        edge_impl=c.edge_impl, save_kv=c.save_kv, edge_bf16=c.edge_bf16,
-        edge_bwd=c.edge_bwd, seg_pallas=c.seg_pallas,
-        softmax_pallas=c.softmax_pallas, graph_axis="",
-    )
-    clf = Classifier(n_out=c.n_classes)
-    em = fl.em
+    conv = GeneralConv(**conv_kwargs)
+    num_types, node_cap, n_hid = dims
     S, M = n_stages, n_micro
-    n_seed, rate = c.n_seed, c.dropout
+    rate = dropout
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def pick(tree, idx):
@@ -222,9 +223,7 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
             )
             return h_out
 
-        h0 = jnp.zeros(
-            (fl.layout.num_types, fl.layout.node_cap, c.n_hid), jnp.float32
-        )
+        h0 = jnp.zeros((num_types, node_cap, n_hid), jnp.float32)
 
         def step_fn(carry, t):
             h_recv, acc = carry
@@ -236,9 +235,7 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
                 s == 0, embed(m_c, jax.random.fold_in(key_m, 97)), h_recv
             )
             h_out = stage_compute(h_in, m_c, key_m)
-            logp = clf.apply({"params": shared["clf"]}, h_out[0, :n_seed])
-            y_m = lax.dynamic_index_in_dim(labels, m_c, 0, keepdims=False)
-            l_m = nll_loss(logp, y_m)
+            l_m = head_loss(shared, h_out, m_c, labels)
             acc = acc + jnp.where(valid & (s == S - 1), l_m, 0.0)
             h_next = lax.ppermute(h_out, PIPE_AXIS, perm)
             return (h_next, acc), None
@@ -254,6 +251,41 @@ def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
         return loss
 
     return collective_loss
+
+
+def make_pp_loss(fl, n_stages: int, n_micro: int, mesh: Mesh,
+                 deterministic: bool = False):
+    """Flagship wiring of :func:`make_pp_task_loss`: homogeneous-norm HGT
+    stack + Classifier head + NLL over the paper seeds. Returns
+    ``loss(stages, shared, rng, micro_args, se_stack, labels) -> scalar``
+    with ``labels [M, n_seed]``."""
+    c = fl.cfg
+    if c.n_layers % n_stages:
+        raise ValueError(f"n_layers={c.n_layers} % n_stages={n_stages}")
+    conv_kwargs = dict(
+        conv_name="hgt", in_dim=c.n_hid, out_dim=c.n_hid,
+        num_types=fl.schema.num_types,
+        num_relations=fl.schema.num_relations,
+        n_heads=c.n_heads, dropout=c.dropout,
+        # homogeneous stack: FlagshipModel uses prev_norm=last_norm=True
+        use_norm=True, use_rte=True, remat=c.remat,
+        edge_impl=c.edge_impl, save_kv=c.save_kv, edge_bf16=c.edge_bf16,
+        edge_bwd=c.edge_bwd, seg_pallas=c.seg_pallas,
+        softmax_pallas=c.softmax_pallas, graph_axis="",
+    )
+    clf = Classifier(n_out=c.n_classes)
+    n_seed = c.n_seed
+
+    def head_loss(shared, h_out, m_idx, labels):
+        logp = clf.apply({"params": shared["clf"]}, h_out[0, :n_seed])
+        y_m = lax.dynamic_index_in_dim(labels, m_idx, 0, keepdims=False)
+        return nll_loss(logp, y_m)
+
+    return make_pp_task_loss(
+        conv_kwargs, (fl.layout.num_types, fl.layout.node_cap, c.n_hid),
+        fl.em, head_loss, n_stages, n_micro, mesh, c.dropout,
+        deterministic=deterministic,
+    )
 
 
 def make_pp_train_step(
