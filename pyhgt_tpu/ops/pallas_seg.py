@@ -50,10 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 # index advances by at most 1 per tile (see sorted_batch.pallas_seg_aux);
 # the one-hot width is K + W, so the kernel's MXU FLOPs are
 # 2·E·(K+W)·D and shrinking K/W cuts compute directly (the kernels run
-# compute-bound at ~164 TFLOP/s, probe9). The tab-window aux needs
-# K, W >= RTE_MAX_LEN = 240, so 256 is the floor; chosen by on-chip sweep.
-PK = 512
-PW = 512
+# compute-bound at ~164 TFLOP/s, probe9). Round-3 on-chip sweep
+# (docs/runs/ab_round3*.json): 384 = 155.2 -> 134.0 ms/step at bench
+# scale; 256 and every asymmetric K < W config LOSE to per-tile fixed
+# costs (one-hot build + small-matmul pipeline overhead). The tab-window
+# aux needs K, W >= RTE_MAX_LEN = 240, so 256 is the hard floor.
+PK = 384
+PW = 384
 
 
 @struct.dataclass
