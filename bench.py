@@ -259,6 +259,50 @@ def main() -> int:
     float(loss)  # hard host sync (block_until_ready is unreliable on the
     # tunneled axon platform: it returned before execution finished)
 
+    # roofline model (VERDICT r2 #7): speed-of-light step time =
+    # max(FLOPs / MXU_peak, HBM bytes / HBM_bw); roofline_frac is the
+    # achieved fraction of it. v5e: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+    #
+    # FLOPs come from XLA's cost analysis of the compiled step (includes
+    # the Pallas kernels via their CostEstimates; counts f32 and bf16
+    # alike — a mild overestimate of the MXU bound). Bytes do NOT: XLA's
+    # "bytes accessed" counts op-level logical traffic including
+    # fusion-internal re-reads (170 GB at bench scale — more than the
+    # chip can physically move in the measured step). Instead an analytic
+    # FLOOR of certain HBM traffic is used, from the algorithm structure
+    # (docs/PERF_NOTES.md / DESIGN.md): per layer ~18 wide [E, D] bf16
+    # passes (fwd: save_kv writes + weighted-message write/read; bwd:
+    # product writes, src permute read+write pairs, pair/tab kernel
+    # reads, g_q_n weighted chain) + ~6 physical narrow passes ([E, 8]
+    # lane-pads to 128) + the AdamW param/moment traffic. Both bounds
+    # being floors, roofline_frac is a defensible LOWER bound on how
+    # close the step runs to physics.
+    roofline = None
+    if args.dp == args.gp == args.pp == 1:
+        try:
+            compiled = step.lower(state, rng, *bargs, se_stack, y).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        E_pad = int(np.asarray(se.edge_tgt).shape[0])
+        D = fl.cfg.n_hid
+        L = fl.cfg.n_layers
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(state.params)
+        )
+        wide = E_pad * D * 2           # one [E, D] bf16 HBM pass
+        narrow = E_pad * 128 * 4       # one [E, 8] f32 pass (lane-padded)
+        bytes_floor = (
+            L * (18 * wide + 6 * narrow)
+            + 6 * n_params * 4         # AdamW: read+write of p, mu, nu
+        )
+        if flops > 0:
+            sol = max(flops / 1.97e14, bytes_floor / 819e9)
+            roofline = dict(flops=flops, bytes=bytes_floor, sol_s=sol)
+
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, loss = step(state, rng, *bargs, se_stack, y)
@@ -268,21 +312,24 @@ def main() -> int:
     assert np.isfinite(lval), f"non-finite loss {lval}"
     edges_per_s = n_edges * n_layers / dt / args.dp / args.gp / args.pp
     vs = edges_per_s / BASELINE_EDGES_PER_S if BASELINE_EDGES_PER_S else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "hgt_train_edges_per_s_per_chip",
-                "value": round(edges_per_s, 1),
-                "unit": f"edges/s/chip ({n_layers}-layer fwd+bwd+adamw, "
-                        f"{n_edges} edges/batch, step {dt*1e3:.1f} ms"
-                        + (f", dp={args.dp}" if args.dp > 1 else "")
-                        + (f", gp={args.gp}" if args.gp > 1 else "")
-                        + (f", pp={args.pp}" if args.pp > 1 else "") + ")",
-                "vs_baseline": round(vs, 3),
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "hgt_train_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": f"edges/s/chip ({n_layers}-layer fwd+bwd+adamw, "
+                f"{n_edges} edges/batch, step {dt*1e3:.1f} ms"
+                + (f", dp={args.dp}" if args.dp > 1 else "")
+                + (f", gp={args.gp}" if args.gp > 1 else "")
+                + (f", pp={args.pp}" if args.pp > 1 else "") + ")",
+        "vs_baseline": round(vs, 3),
+    }
+    if roofline is not None:
+        out["roofline_frac"] = round(roofline["sol_s"] / dt, 3)
+        out["unit"] += (
+            f" [SoL {roofline['sol_s']*1e3:.1f} ms: "
+            f"{roofline['flops']/1e12:.1f} TFLOP @197T, "
+            f"{roofline['bytes']/1e9:.1f} GB @819GB/s]"
+        )
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,40 @@ def main() -> int:
         "metric": "serve_p50_single_ms", "value": base["p50_ms"],
         "unit": "ms",
     }), flush=True)
+
+    # coalescing A/B (VERDICT r2 #9): a burst of R concurrent single-node
+    # requests answered (a) one model call per request (what a naive loop
+    # does) vs (b) folded through _answer_node_batch into shared subgraph
+    # samples (up to batch_size request nodes ride ONE sample + forward).
+    from pyhgt_tpu.experiments.serving import _answer_node_batch
+
+    for conc in (4, 8, 16):
+        seq_lat, co_lat = [], []
+        iters = 10
+        for _ in range(iters):
+            reqs = [{"nodes": [int(req_rng.integers(0, n))], "vr_num": 1}
+                    for _ in range(conc)]
+            t0 = time.perf_counter()
+            for r_ in reqs:
+                pred.predict_logprobs(r_["nodes"], vr_num=1,
+                                      rng=np.random.default_rng(3))
+            seq_lat.append((time.perf_counter() - t0) * 1e3 / conc)
+            t0 = time.perf_counter()
+            resp = _answer_node_batch(pred, reqs)
+            co_lat.append((time.perf_counter() - t0) * 1e3 / conc)
+            assert all("pred" in r_ for r_ in resp)
+        row = {
+            "metric": "serve_coalesce_ab",
+            "concurrency": conc,
+            "sequential_p50_ms_per_req": round(
+                float(np.percentile(seq_lat, 50)), 2),
+            "coalesced_p50_ms_per_req": round(
+                float(np.percentile(co_lat, 50)), 2),
+            "speedup": round(float(np.percentile(seq_lat, 50))
+                             / max(float(np.percentile(co_lat, 50)), 1e-9),
+                             2),
+        }
+        print(json.dumps(row), flush=True)
     return 0
 
 

@@ -89,6 +89,11 @@ class ExperimentConfig:
                                        # and prev_norm == last_norm
     pp_micro: int = 0                  # microbatches per pp step
                                        # (0 = 2*pp; bubble = (pp-1)/(M+pp-1))
+    gp_overlap: bool = False           # gp: boundary exchange as a manual
+                                       # chunked ppermute ring (reduce-
+                                       # scatter + all-gather) instead of
+                                       # XLA psum — the ICI-pipelinable
+                                       # form (parallel/edge_partition)
 
     # -- eval -------------------------------------------------------------
     vr_num: int = 8                    # eval_ogbn_mag.py:95

@@ -154,6 +154,7 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         # gp>1: convs run the edge-partitioned core under shard_map when a
         # PartitionedEdges block is passed (eval still rides the se path)
         graph_axis="graph" if cfg.gp > 1 else "",
+        gp_overlap=getattr(cfg, "gp_overlap", False),
     )
 
 

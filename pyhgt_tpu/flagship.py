@@ -68,6 +68,8 @@ class FlagshipConfig:
     # (0 = ops.pallas_seg.PK default; chip-sweep knob — FLOPs ∝ K+W)
     seg_w: int = 0             # Pallas output-block size W (0 = K)
     graph_axis: str = ""       # mesh axis name for edge-partitioned runs
+    gp_overlap: bool = False   # gp: ring-allreduce boundary exchange
+    # (parallel/edge_partition._ring_allreduce; ICI-pipelinable form)
     param_bf16: bool = False   # bf16 weight banks at apply time, f32
     # masters in the train state (train/optim.bf16_param_cast)
 
@@ -128,6 +130,7 @@ class FlagshipModel(nn.Module):
             seg_pallas=c.seg_pallas,
             softmax_pallas=c.softmax_pallas,
             graph_axis=c.graph_axis,
+            gp_overlap=c.gp_overlap,
         )
         self.clf = Classifier(n_out=c.n_classes)
 

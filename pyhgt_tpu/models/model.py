@@ -44,6 +44,7 @@ class GNN(nn.Module):
     seg_pallas: bool = False
     softmax_pallas: bool = False
     graph_axis: str = ""
+    gp_overlap: bool = False
 
     def setup(self):
         self.adapt_w = self.param(
@@ -76,6 +77,7 @@ class GNN(nn.Module):
                     seg_pallas=self.seg_pallas,
                     softmax_pallas=self.softmax_pallas,
                     graph_axis=self.graph_axis,
+                    gp_overlap=self.gp_overlap,
                 )
             )
         self.convs = convs

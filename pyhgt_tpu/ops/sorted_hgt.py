@@ -645,6 +645,10 @@ def hgt_conv_core_sorted(
     # g_k/g_v pair natively in src order (see _edge_bwd)
     bwd_slab: bool = False,  # lane-concatenated backward: ONE [E, 2D]
     # permute + slab pair kernel instead of two [E, D] permutes
+    return_attention: bool = False,  # also return the [E, H] softmax
+    # weights the edge stage used (viz parity: same inputs, same impl —
+    # HGTConv.attention_weights rides this instead of rebuilding the
+    # prologue, so the two cannot drift)
 ):
     """Same contract as :func:`pyhgt_tpu.ops.hgt.hgt_conv_core` but over the
     target-sorted layout — scatter-free forward and backward. ``save_kv``
@@ -699,12 +703,15 @@ def hgt_conv_core_sorted(
         k_tab = k_tab.astype(edge_dtype)
         v_tab = v_tab.astype(edge_dtype)
 
-    aggr = hgt_edge_stage(
-        q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
-         softmax_pallas, bwd_src_direct, bwd_slab), se,
-    )
-    return aggr.reshape(T, C, Dout).astype(x.dtype)
+    dims = (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
+            softmax_pallas, bwd_src_direct, bwd_slab)
+    aggr = hgt_edge_stage(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)
+    out = aggr.reshape(T, C, Dout).astype(x.dtype)
+    if return_attention:
+        w = hgt_edge_attention(q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
+                               dims, se)
+        return out, w
+    return out
 
 
 def hgt_edge_attention(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):

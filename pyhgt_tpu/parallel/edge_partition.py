@@ -124,6 +124,66 @@ def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
 
 
 # ---------------------------------------------------------------------------
+def _ring_allreduce(x, axis: str, op: str = "sum"):
+    """Manual bidirectional-free ring allreduce: reduce-scatter then
+    all-gather, one 1/P-sized chunk per ``ppermute`` hop.
+
+    Why this exists next to ``lax.psum``: XLA emits the psum as one
+    monolithic all-reduce that serializes after the producing compute.
+    The ring form moves P-1 small hops instead, which real ICI can
+    overlap with neighbouring compute (and which slots into a future
+    per-chunk compute/communication pipeline). On the virtual CPU mesh it
+    is a pure CORRECTNESS artifact — parity-tested vs psum so that
+    real-multi-chip time is measurement, not development (VERDICT r2 #6).
+    """
+    P = jax.lax.axis_size(axis)
+    if P == 1:
+        return x
+    n0 = x.shape[0]
+    pad = (-n0) % P
+    if pad:
+        fill = NEG if op == "max" else 0.0
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+    n = x.shape[0]
+    c = n // P
+    idx = jax.lax.axis_index(axis)
+    perm = [(p, (p + 1) % P) for p in range(P)]
+    combine = jnp.maximum if op == "max" else jnp.add
+
+    def chunk(buf, j):
+        return jax.lax.dynamic_slice_in_dim(buf, j * c, c, axis=0)
+
+    def put(buf, val, j):
+        return jax.lax.dynamic_update_slice_in_dim(buf, val, j * c, axis=0)
+
+    # reduce-scatter: at step s device i sends chunk (i - s) mod P and
+    # folds the incoming chunk (i - s - 1) mod P into its buffer; after
+    # P-1 steps chunk (i + 1) mod P is fully reduced on device i
+    buf = x
+    send = chunk(buf, idx % P)
+    for s in range(P - 1):
+        recv = jax.lax.ppermute(send, axis, perm)
+        j = (idx - s - 1) % P
+        send = combine(chunk(buf, j), recv)
+        buf = put(buf, send, j)
+    # all-gather: circulate the reduced chunks; at step s device i
+    # receives chunk (i - s) mod P from its left neighbour
+    g = send
+    for s in range(P - 1):
+        g = jax.lax.ppermute(g, axis, perm)
+        j = (idx - s) % P
+        buf = put(buf, g, j)
+    return buf[:n0]
+
+
+def _xreduce(x, axis: str, op: str, overlap: bool):
+    if overlap:
+        return _ring_allreduce(x, axis, op)
+    return jax.lax.pmax(x, axis) if op == "max" else jax.lax.psum(x, axis)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _edge_stage_local(
     q_n, k_rel, v_rel, k_tab, v_tab, pri_e,
@@ -142,7 +202,8 @@ def _edge_stage_local(
 def _part_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
                    edge_tgt, gidx, tabidx, mask_f,
                    seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab):
-    H, dk, use_rte, axis = dims
+    H, dk, use_rte, axis = dims[:4]
+    overlap = len(dims) > 4 and dims[4]
     D = q_n.shape[-1]
     E = edge_tgt.shape[0]
     mask = mask_f > 0
@@ -150,9 +211,10 @@ def _part_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims,
     q_e = q_n[edge_tgt]
     _pre, att = _attention(q_e, k_e, pri_e, mask, H, dk)
     # cross-shard softmax statistics (the boundary exchange)
-    m_n = jax.lax.pmax(seg_max_csr(att, edge_tgt, seg_ptr_tgt), axis)   # [N, H]
+    m_n = _xreduce(seg_max_csr(att, edge_tgt, seg_ptr_tgt), axis, "max",
+                   overlap)                                             # [N, H]
     ex = jnp.exp(att - m_n[edge_tgt]) * mask[:, None]
-    den_n = jax.lax.psum(seg_sum_csr(ex, seg_ptr_tgt), axis)            # [N, H]
+    den_n = _xreduce(seg_sum_csr(ex, seg_ptr_tgt), axis, "sum", overlap)
     den_n = jnp.maximum(den_n, 1e-30)
     w = ex / den_n[edge_tgt]
     # per-head broadcast via the one-hot MXU matmul — the [E, H, dk]
@@ -181,7 +243,8 @@ def _part_bwd(dims, res, g_aggr):
     (q_n, k_rel, v_rel, k_tab, v_tab, pri_e, w,
      edge_tgt, gidx, tabidx, mask_f,
      seg_ptr_tgt, perm_src, seg_ptr_src, perm_tab, seg_ptr_tab) = res
-    H, dk, use_rte, axis = dims
+    H, dk, use_rte, axis = dims[:4]
+    overlap = len(dims) > 4 and dims[4]
     D = q_n.shape[-1]
     E = edge_tgt.shape[0]
     mask = mask_f > 0
@@ -196,7 +259,8 @@ def _part_bwd(dims, res, g_aggr):
     g_v_e = _head_expand(w, H, dk) * g_msg
 
     # softmax backward with the cross-shard Jacobian term
-    s_n = jax.lax.psum(seg_sum_csr(w * g_w, seg_ptr_tgt), axis)   # [N, H]
+    s_n = _xreduce(seg_sum_csr(w * g_w, seg_ptr_tgt), axis, "sum",
+                   overlap)                                       # [N, H]
     g_att = w * (g_w - s_n[edge_tgt])
     g_att = jnp.where(mask[:, None], g_att, 0.0)
 
@@ -241,9 +305,16 @@ def hgt_conv_core_partitioned(
     n_heads: int,
     rte_vec=None,
     axis_name: str = GRAPH_AXIS,
+    overlap: bool = False,
 ):
     """Edge-partitioned HGT attention. Must be called INSIDE a shard_map
     over ``axis_name``; returns the full (psum'd) aggregation [T, C, Dout].
+
+    ``overlap=True`` routes every boundary exchange (softmax stats, the
+    [N, D] aggregation, the backward Jacobian term) through the manual
+    chunked ring allreduce (:func:`_ring_allreduce`) instead of XLA's
+    monolithic psum/pmax — the form real ICI can pipeline with compute.
+    Parity-tested vs psum on the virtual mesh (tests/test_edge_partition).
     """
     from pyhgt_tpu.ops.hgt import (
         _block_relation_transform,
@@ -276,12 +347,15 @@ def hgt_conv_core_partitioned(
     pri_e = pe_local.rel_onehot @ rel_pri
     aggr_p = _edge_stage_local(
         q.reshape(N, Dout), k_rel, v_rel, k_tab, v_tab, pri_e,
-        (H, dk, use_rte, axis_name),
+        (H, dk, use_rte, axis_name, overlap),
         pe_local.edge_tgt, pe_local.gidx,
         pe_local.tabidx if use_rte else jnp.zeros_like(pe_local.tabidx),
         pe_local.mask_f,
         pe_local.seg_ptr_tgt, pe_local.perm_src, pe_local.seg_ptr_src,
         pe_local.perm_tab, pe_local.seg_ptr_tab,
     )
-    aggr = jax.lax.psum(aggr_p, axis_name)
+    if overlap:
+        aggr = _ring_allreduce(aggr_p, axis_name, "sum")
+    else:
+        aggr = jax.lax.psum(aggr_p, axis_name)
     return aggr.reshape(T, C, Dout).astype(x.dtype)

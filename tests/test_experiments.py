@@ -474,8 +474,14 @@ def test_bench_contract_tiny(monkeypatch, capsys):
     bench.main()
     out = [l for l in capsys.readouterr().out.strip().splitlines() if l]
     rec = json.loads(out[-1])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert set(rec) <= {"metric", "value", "unit", "vs_baseline",
+                        "roofline_frac"}
     assert rec["value"] > 0
+    if "roofline_frac" in rec:
+        # on the CPU contract run the frac rounds to ~0 (v5e constants
+        # vs a CPU step time) — only shape/finiteness is checked here
+        assert 0 <= rec["roofline_frac"]
 
 
 def test_checkpoint_resume_continues_training(toy_env, tmp_path):

@@ -456,3 +456,16 @@ def test_onecycle_finite_at_tiny_total_steps():
         # the exact peak; require a sane bracket instead
         assert vals.max() <= 3e-3 * (1 + 1e-6)
         assert vals.max() >= 3e-3 / 25 - 1e-9
+
+
+def test_preset_schedulers_avoid_midcycle_quirk():
+    """SURVEY §7 lists the reference's scheduler.step(train_step=1500)
+    mid-cycle start as a quirk NOT to reproduce by default: it lives only
+    behind the opt-in 'cosine_torch' (VERDICT r2 weak #6). No preset
+    inherits it, and the default cosine starts at phase 0 (full lr)."""
+    from pyhgt_tpu.config import PRESETS
+    from pyhgt_tpu.train.optim import cosine_schedule
+
+    for name, cfg in PRESETS.items():
+        assert cfg.scheduler != "cosine_torch", name
+    assert abs(float(cosine_schedule(1e-3, 1000)(0)) - 1e-3) < 1e-9
