@@ -365,6 +365,78 @@ def _softmax_tiled(att, se):
     return ex / den_e
 
 
+def _softmax_tilemax(att, se, K=_TILE):
+    """Segment softmax stabilized by the per-128-tile max instead of the
+    per-segment running max — kills the 7-step shift scan
+    (:func:`seg_max_tiled`), the narrow chain's largest component
+    (probe9: the [E, 8] ops are 16x lane-padded, so every extra pass
+    costs wide-pass money).
+
+    Math (exact online-softmax algebra): with ``m_t`` the max of tile t,
+    ``den_seg = Σ_t exp(m_t - m_seg) · Σ_{e ∈ t ∩ seg} exp(att_e - m_t)``
+    where ``m_seg = max_{t ∋ seg} m_t`` — an upper bound of every logit
+    in the segment, so all scales are <= 1 (no overflow). The inner sums
+    ride the existing one-hot level-1 einsum; the scale/combine runs on
+    the tiny live-row space. Deviation vs the per-segment max: a row can
+    underflow if another SEGMENT in its tile carries a logit >~88 above
+    its own — impossible at trained-logit scales (|att| <~ 50) and
+    guarded by the same den floor as the default path."""
+    E, H = att.shape
+    tiles = E // K
+    a3 = att.reshape(tiles, K, H)
+    m_tile = jnp.max(a3, axis=1)                           # [tiles, H]
+    ex_t = (
+        jnp.exp(a3 - m_tile[:, None, :]).reshape(E, H)
+        * se.edge_mask[:, None]
+    )
+    # level 1: per-(tile, rank) partials of ex_t (same one-hot einsum as
+    # seg_sum_tiled)
+    oh = (
+        se.tl_tgt.reshape(tiles, K)[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    ).astype(jnp.float32)
+    partial = jnp.einsum(
+        "tkr,tkh->trh", oh, ex_t.reshape(tiles, K, H),
+        preferred_element_type=jnp.float32,
+    ).reshape(tiles * K, H)
+    flat = jnp.concatenate(
+        [partial, jnp.zeros((1, H), partial.dtype)], axis=0
+    )
+    live = flat[se.live_idx_tgt]                           # [M, H]
+    # per-live-row LOG-SPACE combine: lse(t, seg) = m_tile + log(partial)
+    # is the slice's exact logsumexp, so the per-segment stabilizer
+    # m_n = max lse is within log(members) of the segment's true max —
+    # every level-2 summand exp(lse - m_n) is O(1) and the cumsum-diff
+    # combine loses no precision (a raw tile-max stabilizer left den
+    # values on wildly different scales and the cumsum cancelled).
+    tile_of = jnp.minimum(se.live_idx_tgt // K, tiles - 1)
+    m_live = jnp.where(
+        (se.live_idx_tgt < tiles * K)[:, None], m_tile[tile_of], NEG
+    )
+    lse_live = jnp.where(
+        live > 0,
+        m_live + jnp.log(jnp.maximum(live, 1e-38)),
+        NEG,
+    )
+    m_n = seg_max_csr(lse_live, se.live_key_tgt, se.seg_ptr2_tgt)  # [S, H]
+    S = m_n.shape[0]
+    key_safe = jnp.minimum(se.live_key_tgt, S - 1)
+    scale = jnp.exp(jnp.minimum(lse_live - m_n[key_safe], 0.0))
+    den_n = seg_sum_csr(scale, se.seg_ptr2_tgt)
+    # pathology guard: if EVERY slice of a segment underflowed against
+    # its tile max (logit spread > ~87 within a tile — beyond trained
+    # scales), m_n is NEG and the combine knows nothing about the
+    # segment; emit zeros there instead of exp(+inf)
+    m_e = m_n[se.edge_tgt]
+    ex = jnp.where(
+        m_e > jnp.float32(-5e29),
+        jnp.exp(jnp.minimum(att - m_e, 0.0)),
+        0.0,
+    ) * se.edge_mask[:, None]
+    den_e = jnp.maximum(den_n[se.edge_tgt], 1e-30)
+    return ex / den_e
+
+
 def _softmax_pallas(att, se):
     """Segment softmax via the fused Pallas online-partials kernel
     (:func:`pyhgt_tpu.ops.pallas_seg.segment_softmax_partials`): one HBM
@@ -400,12 +472,15 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     # marginal, probe8-p5) but LOST 15 ms in the full step (scheduling /
     # fusion interaction) — off by default, selectable via dims[6]
     softmax_pallas = len(dims) > 6 and dims[6]
+    softmax_tilemax = len(dims) > 9 and dims[9]
     if (
         softmax_pallas
         and se.pseg_tgt is not None
         and getattr(se.pseg_tgt, "live_key", None) is not None
     ):
         w = _softmax_pallas(att, se)                         # [E, H] f32
+    elif softmax_tilemax:
+        w = _softmax_tilemax(att, se)                        # [E, H] f32
     else:
         w = _softmax_tiled(att, se)                          # [E, H] f32
     # per-edge messages formed in VMEM on the Pallas path (never hit HBM);
@@ -645,6 +720,8 @@ def hgt_conv_core_sorted(
     # g_k/g_v pair natively in src order (see _edge_bwd)
     bwd_slab: bool = False,  # lane-concatenated backward: ONE [E, 2D]
     # permute + slab pair kernel instead of two [E, D] permutes
+    softmax_tilemax: bool = False,  # per-tile-max online softmax (kills
+    # the 7-step shift scan; see _softmax_tilemax)
     return_attention: bool = False,  # also return the [E, H] softmax
     # weights the edge stage used (viz parity: same inputs, same impl —
     # HGTConv.attention_weights rides this instead of rebuilding the
@@ -704,7 +781,7 @@ def hgt_conv_core_sorted(
         v_tab = v_tab.astype(edge_dtype)
 
     dims = (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
-            softmax_pallas, bwd_src_direct, bwd_slab)
+            softmax_pallas, bwd_src_direct, bwd_slab, softmax_tilemax)
     aggr = hgt_edge_stage(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)
     out = aggr.reshape(T, C, Dout).astype(x.dtype)
     if return_attention:

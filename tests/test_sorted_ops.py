@@ -278,3 +278,54 @@ def test_dense_hgt_sorted_matches_segment(env):
     o2 = srt.apply(params, *args, se=se)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_softmax_tilemax_matches_tiled(env):
+    """softmax_tilemax (per-tile-max online combine, no shift scans)
+    matches the default segment softmax at trained-logit scales, values
+    AND grads; stays finite in the documented out-of-domain regime."""
+    from pyhgt_tpu.ops.sorted_hgt import _softmax_tilemax, _softmax_tiled
+
+    layout, em, batch, se = env
+    T, C = layout.num_types, layout.node_cap
+    Din = Dout = 24
+    H = 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(12)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, tm):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec, softmax_tilemax=tm,
+            **params,
+        )
+        return jnp.sum(out * tgt), out
+
+    (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, False)
+    (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        P, x, True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               rtol=1e-3, atol=5e-5)
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=1e-3, atol=5e-5, err_msg=k,
+        )
+
+    # raw-function parity across logit scales + finite out-of-domain
+    E = se.edge_tgt.shape[0]
+    for s in (1, 10):
+        att = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32) * s)
+        att = jnp.where(jnp.asarray(se.edge_mask)[:, None], att, -1e30)
+        w0 = np.asarray(_softmax_tiled(att, se))
+        w1 = np.asarray(_softmax_tilemax(att, se))
+        assert np.abs(w0 - w1).max() < 5e-6, s
+    att = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32) * 40)
+    att = jnp.where(jnp.asarray(se.edge_mask)[:, None], att, -1e30)
+    assert np.isfinite(np.asarray(_softmax_tilemax(att, se))).all()
