@@ -51,11 +51,13 @@ def test_tiled_aux_matches_numpy(E, S, seed):
                                       err_msg=name)
 
 
-@pytest.mark.parametrize("E,S,seed,hub", [
-    (512, 40, 6, False), (4 * 512, 300, 7, False), (8 * 512, 17, 8, True),
+@pytest.mark.parametrize("tiles,S,seed,hub", [
+    (1, 40, 6, False), (4, 300, 7, False), (8, 17, 8, True),
 ])
-def test_pallas_aux_matches_numpy(E, S, seed, hub):
+@pytest.mark.parametrize("KW", [512, 384, 256])
+def test_pallas_aux_matches_numpy(tiles, S, seed, hub, KW):
     rng = np.random.default_rng(seed)
+    E = tiles * KW
     if hub:
         keys = np.concatenate([
             np.zeros(E // 2, np.int64),
@@ -64,8 +66,8 @@ def test_pallas_aux_matches_numpy(E, S, seed, hub):
     else:
         keys = np.sort(rng.integers(0, S, size=E - 32))
     key = np.concatenate([keys, np.full(32, S)]).astype(np.int32)
-    got = nb.pallas_aux(key, S, 512, 512)
-    ref = pallas_seg_aux(key.astype(np.int64), S)
+    got = nb.pallas_aux(key, S, KW, KW)
+    ref = pallas_seg_aux(key.astype(np.int64), S, KW, KW)
     np.testing.assert_array_equal(got.loc, ref.loc)
     np.testing.assert_array_equal(got.blk, ref.blk)
     np.testing.assert_array_equal(got.ptr2, ref.ptr2)
@@ -82,7 +84,7 @@ def test_tab_window_aux_matches_numpy():
         b * L + rng.integers(0, L, size=s) for b, s in enumerate(sizes)
     ]).astype(np.int64)
     got = nb.tab_window_aux(tab, B, L, K, W)
-    ref = pallas_tab_window_aux(tab, B, L)
+    ref = pallas_tab_window_aux(tab, B, L, K=K, W=W)
     assert ref is not None and got is not None
     np.testing.assert_array_equal(got.loc, ref.loc)
     np.testing.assert_array_equal(got.blk, ref.blk)
@@ -90,7 +92,7 @@ def test_tab_window_aux_matches_numpy():
     # structure-violating inputs return None like the reference
     scrambled = rng.integers(0, B * L, size=tab.shape[0]).astype(np.int64)
     assert nb.tab_window_aux(scrambled, B, L, K, W) is None
-    assert pallas_tab_window_aux(scrambled, B, L) is None
+    assert pallas_tab_window_aux(scrambled, B, L, K=K, W=W) is None
 
 
 def test_sort_batch_native_equals_numpy():
