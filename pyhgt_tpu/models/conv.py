@@ -180,6 +180,14 @@ class HGTConv(nn.Module):
                 rel_pri=self.rel_pri, rel_att=self.rel_att,
                 rel_msg=self.rel_msg, overlap=self.gp_overlap,
                 n_heads=n_heads, rte_vec=rte_vec,
+                # the production per-shard knobs apply under gp too
+                # (round-3: each shard runs the full sorted machinery)
+                save_kv=self.save_kv,
+                edge_dtype=jnp.bfloat16 if self.edge_bf16 else None,
+                bwd_recompute=self.edge_bwd == "recompute",
+                bwd_src_direct=self.edge_bwd == "src_direct",
+                bwd_slab=self.edge_bwd == "slab",
+                seg_pallas=self.seg_pallas,
                 axis_name=self.graph_axis,
             )
         elif self.edge_impl == "sorted":

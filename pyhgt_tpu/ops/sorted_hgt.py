@@ -171,6 +171,60 @@ def seg_max_tiled(data, seg_ids, live_last, live_key, seg_ptr2, K=_TILE):
     return seg_max_csr(live, live_key, seg_ptr2)
 
 
+def ring_allreduce(x, axis: str, op: str = "sum"):
+    """Manual ring allreduce: reduce-scatter then all-gather, one
+    1/P-sized chunk per ``ppermute`` hop — the form real ICI can overlap
+    with neighbouring compute. Parity-tested vs psum/pmax on the virtual
+    mesh (tests/test_edge_partition.py); see docs/PERF_NOTES.md round-3.
+    """
+    P = jax.lax.axis_size(axis)
+    if P == 1:
+        return x
+    n0 = x.shape[0]
+    pad = (-n0) % P
+    if pad:
+        fill = NEG if op == "max" else 0.0
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+    n = x.shape[0]
+    c = n // P
+    idx = jax.lax.axis_index(axis)
+    perm = [(p, (p + 1) % P) for p in range(P)]
+    combine = jnp.maximum if op == "max" else jnp.add
+
+    def chunk(buf, j):
+        return jax.lax.dynamic_slice_in_dim(buf, j * c, c, axis=0)
+
+    def put(buf, val, j):
+        return jax.lax.dynamic_update_slice_in_dim(buf, val, j * c, axis=0)
+
+    buf = x
+    send = chunk(buf, idx % P)
+    for st in range(P - 1):
+        recv = jax.lax.ppermute(send, axis, perm)
+        j = (idx - st - 1) % P
+        send = combine(chunk(buf, j), recv)
+        buf = put(buf, send, j)
+    g = send
+    for st in range(P - 1):
+        g = jax.lax.ppermute(g, axis, perm)
+        j = (idx - st) % P
+        buf = put(buf, g, j)
+    return buf[:n0]
+
+
+def _xreduce(x, xr, op: str):
+    """Cross-shard combine for the partitioned edge stage. ``xr`` is
+    ``None`` (single-shard: identity) or ``(axis_name, overlap)``."""
+    if xr is None:
+        return x
+    axis, overlap = xr
+    if overlap:
+        return ring_allreduce(x, axis, op)
+    return jax.lax.pmax(x, axis) if op == "max" else jax.lax.psum(x, axis)
+
+
 _GROUPING_AUX = {
     "tgt": ("tl_tgt", "live_idx_tgt", "seg_ptr2_tgt", "pseg_tgt"),
     "src": ("tl_src", "live_idx_src", "seg_ptr2_src", "pseg_src"),
@@ -355,12 +409,14 @@ def hgt_edge_stage(
     return _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)[0]
 
 
-def _softmax_tiled(att, se):
+def _softmax_tiled(att, se, xr=None):
     m_n = seg_max_tiled(
         att, se.edge_tgt, se.live_last_tgt, se.live_key_tgt, se.seg_ptr2_tgt
     )
+    m_n = _xreduce(m_n, xr, "max")   # cross-shard boundary exchange (gp)
     ex = jnp.exp(att - m_n[se.edge_tgt]) * se.edge_mask[:, None]
     den_n = seg_sum_tiled(ex, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    den_n = _xreduce(den_n, xr, "sum")
     den_e = jnp.maximum(den_n[se.edge_tgt], 1e-30)  # floor > min normal f32
     return ex / den_e
 
@@ -473,16 +529,18 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     # fusion interaction) — off by default, selectable via dims[6]
     softmax_pallas = len(dims) > 6 and dims[6]
     softmax_tilemax = len(dims) > 9 and dims[9]
+    xr = dims[10] if len(dims) > 10 else None
     if (
-        softmax_pallas
+        xr is None
+        and softmax_pallas
         and se.pseg_tgt is not None
         and getattr(se.pseg_tgt, "live_key", None) is not None
     ):
         w = _softmax_pallas(att, se)                         # [E, H] f32
-    elif softmax_tilemax:
+    elif xr is None and softmax_tilemax:
         w = _softmax_tilemax(att, se)                        # [E, H] f32
     else:
-        w = _softmax_tiled(att, se)                          # [E, H] f32
+        w = _softmax_tiled(att, se, xr)                      # [E, H] f32
     # per-edge messages formed in VMEM on the Pallas path (never hit HBM);
     # fallback writes them in the operand dtype (bf16 when the caller runs
     # the edge stage in bf16) — either way segment sums accumulate f32
@@ -538,8 +596,13 @@ def _edge_bwd(dims, res, g_aggr):
     g_msg_f = g_msg.astype(jnp.float32)
     g_w = _head_sum_prod(g_msg, v_e, H, dk, seg_pallas)    # [E, H]
 
-    # softmax backward: g_att = w * (g_w - sum_seg(w * g_w))
-    s_n = seg_sum_tiled(w * g_w, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt)
+    # softmax backward: g_att = w * (g_w - sum_seg(w * g_w)); the sum
+    # crosses graph shards on partitioned runs
+    xr = dims[10] if len(dims) > 10 else None
+    s_n = _xreduce(
+        seg_sum_tiled(w * g_w, se.tl_tgt, se.live_idx_tgt, se.seg_ptr2_tgt),
+        xr, "sum",
+    )
     g_att = w * (g_w - s_n[se.edge_tgt])
     g_att = jnp.where(mask[:, None], g_att, 0.0)
 
@@ -722,6 +785,9 @@ def hgt_conv_core_sorted(
     # permute + slab pair kernel instead of two [E, D] permutes
     softmax_tilemax: bool = False,  # per-tile-max online softmax (kills
     # the 7-step shift scan; see _softmax_tilemax)
+    axis_name: str = "",  # graph-axis name: se is one shard of a
+    # partitioned batch; softmax stats + aggregation cross shards
+    gp_overlap: bool = False,  # ring-allreduce boundary exchange
     return_attention: bool = False,  # also return the [E, H] softmax
     # weights the edge stage used (viz parity: same inputs, same impl —
     # HGTConv.attention_weights rides this instead of rebuilding the
@@ -780,9 +846,15 @@ def hgt_conv_core_sorted(
         k_tab = k_tab.astype(edge_dtype)
         v_tab = v_tab.astype(edge_dtype)
 
+    xr = (axis_name, gp_overlap) if axis_name else None
     dims = (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
-            softmax_pallas, bwd_src_direct, bwd_slab, softmax_tilemax)
+            softmax_pallas, bwd_src_direct, bwd_slab, softmax_tilemax, xr)
     aggr = hgt_edge_stage(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)
+    if xr is not None:
+        # per-shard partial aggregations combine once per layer (outside
+        # the custom VJP: its transpose replicates g_aggr, exactly the
+        # partitioned backward's contract)
+        aggr = _xreduce(aggr.astype(jnp.float32), xr, "sum")
     out = aggr.reshape(T, C, Dout).astype(x.dtype)
     if return_attention:
         w = hgt_edge_attention(q_n, k_rel, v_rel, k_tab, v_tab, pri_e,

@@ -353,8 +353,46 @@ def sort_edges(
             onehot = np.concatenate([onehot, np.zeros((padn, R), np.float32)])
             E = E + padn
 
-    if nb is None:
-        seg_ptr_tgt = np.searchsorted(key, np.arange(N + 1)).astype(np.int32)
+    if safe_tgt_n is not None:
+        safe_tgt = safe_tgt_n
+    else:
+        safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
+    return _pack_sorted(
+        src.astype(np.int32), safe_tgt, dt.astype(np.int32), mask, key,
+        gidx, tabidx, onehot, N=N, B=B, C=C, L=L, nb=nb,
+        seg_ptr_tgt=seg_ptr_tgt if nb is not None else None,
+        perms=(perm_src, seg_ptr_src, perm_tab, seg_ptr_tab)
+        if nb is not None else None,
+        pk=PK, pw=PW, build_pallas_aux=build_pallas_aux,
+    )
+
+
+def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
+                 *, N, B, C, L, nb=None, seg_ptr_tgt=None, perms=None,
+                 pk=None, pw=None, build_pallas_aux=True) -> SortedEdges:
+    """Aux construction + SortedEdges packing for edge arrays that are
+    ALREADY tgt-sorted (key non-decreasing) and padded to a ``pk``
+    multiple. Shared by :func:`sort_edges` (the full batch) and
+    :func:`pyhgt_tpu.parallel.edge_partition.partition_sorted` (each
+    graph-axis shard is a sorted slice and gets the SAME production aux —
+    tiled reductions, Pallas kernel aux, tab window — as a single-chip
+    batch). ``seg_ptr_tgt``/``perms`` let callers that already computed
+    the sorts (the native sort_edges path) skip recomputing them."""
+    PK = pk or _DEF_PK
+    PW = pw or (pk or _DEF_PW)
+    E = key.shape[0]
+    assert E % PK == 0, (E, PK)
+
+    if perms is not None:
+        perm_src, seg_ptr_src, perm_tab, seg_ptr_tab = perms
+        key_src_sorted = gidx[perm_src]
+        key_tab_sorted = tabidx[perm_tab]
+    elif nb is not None:
+        perm_src, seg_ptr_src = nb.counting_sort(gidx, B * C)
+        key_src_sorted = gidx[perm_src]
+        perm_tab, seg_ptr_tab = nb.counting_sort(tabidx, B * L)
+        key_tab_sorted = tabidx[perm_tab]
+    else:
         key_src = gidx.astype(np.int64)
         perm_src = np.argsort(key_src, kind="stable").astype(np.int32)
         key_src_sorted = key_src[perm_src]
@@ -367,14 +405,20 @@ def sort_edges(
         seg_ptr_tab = np.searchsorted(
             key_tab_sorted, np.arange(B * L + 1)
         ).astype(np.int32)
+    if seg_ptr_tgt is None:
+        seg_ptr_tgt = np.searchsorted(
+            np.asarray(key, np.int64), np.arange(N + 1)
+        ).astype(np.int32)
 
     if nb is not None:
         tl_tgt, li_tgt, lk_tgt, ll_tgt, sp2_tgt = nb.tiled_aux(
             key, N, REDUCE_TILE)
         tl_src, li_src, _lk, _ll, sp2_src = nb.tiled_aux(
-            key_src_sorted, B * C, REDUCE_TILE)
+            np.ascontiguousarray(key_src_sorted, np.int32), B * C,
+            REDUCE_TILE)
         tl_tab, li_tab, _lk2, _ll2, sp2_tab = nb.tiled_aux(
-            key_tab_sorted, B * L, REDUCE_TILE)
+            np.ascontiguousarray(key_tab_sorted, np.int32), B * L,
+            REDUCE_TILE)
     else:
         tl_tgt, li_tgt, lk_tgt, ll_tgt, sp2_tgt = _tiled_aux(key, N)
         tl_src, li_src, _lk, _ll, sp2_src = _tiled_aux(key_src_sorted, B * C)
@@ -384,12 +428,16 @@ def sort_edges(
     if build_pallas_aux:
         if nb is not None:
             pseg_tgt = nb.pallas_aux(key, N, PK, PW)
-            pseg_src = nb.pallas_aux(key_src_sorted, B * C, PK, PW)
-            pseg_tab = nb.pallas_aux(key_tab_sorted, B * L, PK, PW)
+            pseg_src = nb.pallas_aux(
+                np.ascontiguousarray(key_src_sorted, np.int32), B * C,
+                PK, PW)
+            pseg_tab = nb.pallas_aux(
+                np.ascontiguousarray(key_tab_sorted, np.int32), B * L,
+                PK, PW)
             ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, L, PK, PW)
                         if min(PK, PW) >= L else None)
         else:
-            pseg_tgt = pallas_seg_aux(key, N, PK, PW)
+            pseg_tgt = pallas_seg_aux(key.astype(np.int64), N, PK, PW)
             pseg_src = pallas_seg_aux(
                 key_src_sorted.astype(np.int64), B * C, PK, PW)
             pseg_tab = pallas_seg_aux(
@@ -397,10 +445,6 @@ def sort_edges(
             ptab_src = (pallas_tab_window_aux(tabidx[perm_src], B, L, PK, PW)
                         if min(PK, PW) >= L else None)
 
-    if safe_tgt_n is not None:
-        safe_tgt = safe_tgt_n
-    else:
-        safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
     return SortedEdges(
         edge_src=src.astype(np.int32),
         edge_tgt=safe_tgt,
@@ -412,10 +456,10 @@ def sort_edges(
         tabidx=tabidx,
         rel_onehot=onehot,
         seg_ptr_tgt=seg_ptr_tgt,
-        perm_src=perm_src,
-        seg_ptr_src=seg_ptr_src,
-        perm_tab=perm_tab,
-        seg_ptr_tab=seg_ptr_tab,
+        perm_src=np.asarray(perm_src, np.int32),
+        seg_ptr_src=np.asarray(seg_ptr_src, np.int32),
+        perm_tab=np.asarray(perm_tab, np.int32),
+        seg_ptr_tab=np.asarray(seg_ptr_tab, np.int32),
         tl_tgt=tl_tgt,
         live_idx_tgt=li_tgt,
         live_key_tgt=lk_tgt,

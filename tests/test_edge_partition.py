@@ -191,9 +191,9 @@ def test_ring_allreduce_primitive():
     from jax import shard_map as _sm
     from pyhgt_tpu.parallel.edge_partition import _ring_allreduce
 
-    for Pn in (2, 4, 8):
+    for Pn in (2, 8):
         mesh = Mesh(np.asarray(jax.devices()[:Pn]), ("graph",))
-        for n_rows in (Pn * 3, Pn * 3 + 1, 5):
+        for n_rows in (Pn * 3 + 1, 5):
             x = np.random.default_rng(Pn * 100 + n_rows).normal(
                 size=(Pn, n_rows, 4)
             ).astype(np.float32)
@@ -218,3 +218,50 @@ def test_ring_allreduce_primitive():
                 break  # out_specs P("graph") concatenates; check shard 0
             np.testing.assert_allclose(
                 got_m[:n_rows], want_m, rtol=1e-5, atol=1e-6)
+
+
+def test_partitioned_production_knobs_match(env):
+    """The per-shard production knobs (save_kv + Pallas segment kernels)
+    produce the same values/grads through the partitioned path — each gp
+    shard runs the full single-chip machinery (round-3 rebuild)."""
+    layout, em, batch, se, pe, _P, mesh = env
+    x = jnp.asarray(batch.node_feat)
+    rte_vec = jnp.asarray(rte_sin_table(24))
+    T, C = layout.num_types, layout.node_cap
+    # Dout = 128 so the per-shard Pallas segment kernels actually engage
+    # (the narrow-width fallback would make seg_pallas a no-op at D=24)
+    P_ = _params(np.random.default_rng(13), T,
+                 layout.schema.num_relations, 24, 128, 4)
+    tgt = jnp.asarray(
+        np.random.default_rng(13).normal(size=(T, C, 128)).astype(np.float32)
+    )
+
+    def part_fn(save_kv, seg_pallas):
+        def inner(x, pe_local, params):
+            pe1 = jax.tree.map(lambda a: a[0], pe_local)
+            return hgt_conv_core_partitioned(
+                x, pe1, em, n_heads=4, rte_vec=rte_vec, axis_name="graph",
+                save_kv=save_kv, seg_pallas=seg_pallas, **params,
+            )
+
+        return shard_map(
+            inner, mesh=mesh, in_specs=(P(), P("graph"), P()),
+            out_specs=P(), check_vma=False,
+        )
+
+    def loss(params, x, f):
+        return jnp.sum(f(x, pe, params) * tgt)
+
+    f0 = part_fn(False, False)
+    f1 = part_fn(True, True)
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P_, x, f0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P_, x, f1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=2e-3, atol=2e-4
+    )
+    for k in P_:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=2e-3, atol=2e-4, err_msg=k,
+        )
