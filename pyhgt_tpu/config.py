@@ -44,6 +44,15 @@ class ExperimentConfig:
                                        # (experimental, see PERF_NOTES)
     param_bf16: bool = False           # bf16 weight banks at apply time,
                                        # f32 masters (optim.bf16_param_cast)
+    tgt_rank_cap: int = 0              # Pallas tgt-grouping rank cap V
+                                       # (0 = off): narrows the kernel
+                                       # one-hot from K+W to 2V when live
+                                       # rows/tile stay under V; batches
+                                       # that violate it fall back to the
+                                       # legacy width (one retrace). Size
+                                       # like edge caps: measure max live
+                                       # rows/tile on calib draws, add
+                                       # ~30% headroom.
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

@@ -211,7 +211,8 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _make_producer(sample_fn, layout, em, gp: int = 1):
+def _make_producer(sample_fn, layout, em, gp: int = 1,
+                   tgt_rank_cap: int = 0):
     """``gp > 1``: the item carries :class:`PartitionedEdges` (the graph
     axis's contiguous per-device edge slices, built on the producer
     threads) instead of SortedEdges."""
@@ -222,7 +223,7 @@ def _make_producer(sample_fn, layout, em, gp: int = 1):
 
     def fn(rng):
         tb = sample_fn(rng)
-        se = _sb(tb.sub, layout, em)
+        se = _sb(tb.sub, layout, em, tgt_rank_cap=tgt_rank_cap)
         if gp > 1:
             se = partition_sorted(
                 se, gp, num_blocks=len(layout.blocks),
@@ -596,7 +597,7 @@ def run_node_classification(
         log(f"resumed from {latest_path} at epoch {start_epoch}")
     sample_fn = _make_producer(
         task.make_sample_fn(train_pairs, splits["train"]), layout, em,
-        gp=cfg.gp,
+        gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
     )
     history = []
     from pyhgt_tpu.train.log import MetricsLogger
@@ -762,7 +763,7 @@ def run_ogbn(
     )
     with PrefetchLoader(
         _make_producer(task.make_sample_fn("train"), layout, em,
-                       gp=cfg.gp),
+                       gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,
     ) as loader:
@@ -932,7 +933,7 @@ def run_author_disambiguation(
     with PrefetchLoader(
         _make_producer(
             task.make_sample_fn(pairs["train"], splits["train"]), layout, em,
-            gp=cfg.gp,
+            gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
         ),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,

@@ -67,6 +67,9 @@ class FlagshipConfig:
     seg_tile: int = 0          # Pallas kernel tile size K
     # (0 = ops.pallas_seg.PK default; chip-sweep knob — FLOPs ∝ K+W)
     seg_w: int = 0             # Pallas output-block size W (0 = K)
+    seg_rank_cap: int = 0      # tgt-grouping rank cap V (0 = off): the
+    # kernel one-hot narrows from K+W to V+V when live rows per tile
+    # stay under V (measured 50 max at bench scale; see PERF_NOTES r3)
     graph_axis: str = ""       # mesh axis name for edge-partitioned runs
     gp_overlap: bool = False   # gp: ring-allreduce boundary exchange
     # (parallel/edge_partition._ring_allreduce; ICI-pipelinable form)
@@ -95,6 +98,9 @@ PRESETS: Dict[str, FlagshipConfig] = {
         edge_bf16=True, seg_pallas=True,  # measured winners (PERF_NOTES
         # round 2): bf16 edge stage 304->291 ms, Pallas segment-sum
         # kernel 291->224 ms on the chip
+        seg_rank_cap=64,  # round-3: tgt tiles carry <=50 live rows at
+        # this scale, so the tgt kernels' one-hot narrows 768->128 wide
+        # (135.8 -> 129.5 ms; falls back per batch if ever violated)
     ),
 }
 
@@ -163,7 +169,8 @@ class Flagship:
 
         return sort_batch(batch, self.layout, self.em,
                           pk=self.cfg.seg_tile or None,
-                          pw=self.cfg.seg_w or None)
+                          pw=self.cfg.seg_w or None,
+                          tgt_rank_cap=self.cfg.seg_rank_cap)
 
     def batch_args(self, batch: SubgraphBatch):
         return (

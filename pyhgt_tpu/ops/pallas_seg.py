@@ -80,9 +80,14 @@ class PallasSegAux:
     ptr2: np.ndarray
     live_key: Optional[np.ndarray] = None
     w: int = struct.field(pytree_node=False, default=512)
+    # straddle capacity V = max live rows any tile adds (0 = legacy: V=K).
+    # The one-hot/accumulator width is W + V: a host-measured rank cap
+    # (e.g. 64 for the tgt grouping at bench scale, vs K=384) cuts the
+    # kernel's MXU FLOPs by (K+W)/(W+V) (round-3; see PERF_NOTES).
+    v: int = struct.field(pytree_node=False, default=0)
 
 
-def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
+def _seg_kernel(K, W, V, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
                 out_ref, acc_ref):
     t = pl.program_id(0)
     cur = blk_ref[t]
@@ -95,15 +100,15 @@ def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
         # entered a new output block: previous block's rows retire, the
-        # K straddling rows (local offset >= W) become the new block's
-        # head (K <= W, so the copy never overlaps its source)
-        acc_ref[0:K, :] = acc_ref[W:, :]
-        acc_ref[K:, :] = jnp.zeros_like(acc_ref[K:, :])
+        # V straddling rows (local offset >= W) become the new block's
+        # head (V <= W, so the copy never overlaps its source)
+        acc_ref[0:V, :] = acc_ref[W:, :]
+        acc_ref[V:, :] = jnp.zeros_like(acc_ref[V:, :])
 
     @pl.when(t < n_tiles)
     def _():
         loc = loc_ref[0, 0, :].reshape(K, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, W + V), 1)
         oh = (loc == col).astype(jnp.bfloat16)
         x = data_ref[...]
         hi = x.astype(jnp.bfloat16)
@@ -127,14 +132,16 @@ def _seg_kernel(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref, data_ref,
     out_ref[...] = acc_ref[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
-def _live_partials_call(blk, loc, data, *, w, precision, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("w", "v", "precision", "interpret"))
+def _live_partials_call(blk, loc, data, *, w, v, precision, interpret):
     n_tiles, K = loc.shape
     D = data.shape[-1]
     W = w
+    V = v or K
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high" and data.dtype == jnp.float32
-    kernel = functools.partial(_seg_kernel, K, W, n_tiles, split)
+    kernel = functools.partial(_seg_kernel, K, W, V, n_tiles, split)
     # Mosaic block rule: the last two block dims must divide (8, 128) or
     # equal the array dims — a [tiles, 1, K] view makes the (1, K) row
     # block legal
@@ -151,7 +158,7 @@ def _live_partials_call(blk, loc, data, *, w, precision, interpret):
         ],
         out_specs=pl.BlockSpec((W, D), lambda t, b: (b[t], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((K + W, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((W + V, D), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -159,7 +166,7 @@ def _live_partials_call(blk, loc, data, *, w, precision, interpret):
         out_shape=jax.ShapeDtypeStruct((NB * W, D), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * K * (K + W) * D * (2 if split else 1),
+            flops=2 * n_tiles * K * (W + V) * D * (2 if split else 1),
             bytes_accessed=data.size * data.dtype.itemsize + NB * W * D * 4,
             transcendentals=0,
         ),
@@ -765,5 +772,5 @@ def live_partials(data, aux: PallasSegAux, *, precision: str = "high",
         raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
     return _live_partials_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), data,
-        w=aux.w, precision=precision, interpret=interpret,
+        w=aux.w, v=aux.v, precision=precision, interpret=interpret,
     )

@@ -535,6 +535,8 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
         and softmax_pallas
         and se.pseg_tgt is not None
         and getattr(se.pseg_tgt, "live_key", None) is not None
+        and not getattr(se.pseg_tgt, "v", 0)  # the softmax kernel's
+        # retire logic assumes the legacy V = K width, not a rank cap
     ):
         w = _softmax_pallas(att, se)                         # [E, H] f32
     elif xr is None and softmax_tilemax:

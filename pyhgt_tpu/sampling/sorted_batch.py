@@ -95,23 +95,34 @@ REDUCE_TILE = 128
 
 
 def pallas_seg_aux(key_sorted: np.ndarray, num_segments: int,
-                   K: int = PK, W: int = PW) -> PallasSegAux:
+                   K: int = PK, W: int = PW,
+                   v: int = 0) -> Optional[PallasSegAux]:
     """Host aux for the Pallas segment-sum kernel over one grouping.
 
     ``key_sorted [E]`` non-decreasing (sentinel ``num_segments`` for
     padded edges, which therefore land in trailing live rows that
     ``ptr2`` never selects).  All output shapes are static functions of
     (E, num_segments, K, W) so the device program traces once per layout.
+
+    ``v`` is the rank cap (straddle capacity): the kernel's one-hot /
+    accumulator width is ``W + (v or K)``, so a measured bound on live
+    rows per tile lets ``W = v << K`` and cuts the kernel's MXU FLOPs by
+    ``(K+W)/(W+v)`` (round-3). The hard requirement for the monotone
+    output-block contract is only ``W >= max live rows per tile``;
+    returns ``None`` when a batch violates the cap (caller falls back to
+    the legacy ``W = K`` aux — a one-off retrace, not an error).
     """
     E = key_sorted.shape[0]
     assert E % K == 0, f"edge count {E} not a multiple of the {K} tile"
-    assert W >= K, "W >= K keeps output-block steps <= 1"
+    assert W >= (v or K), "W >= V keeps output-block steps <= 1"
     tiles = E // K
     k2 = key_sorted.reshape(tiles, K)
     new = np.ones((tiles, K), dtype=bool)
     new[:, 1:] = k2[:, 1:] != k2[:, :-1]
     rank = (np.cumsum(new, axis=1) - 1).astype(np.int64)
     n_live = rank[:, -1] + 1
+    if v and int(n_live.max()) > v:
+        return None  # cap violated: caller rebuilds with the legacy width
     live_off = np.concatenate([[0], np.cumsum(n_live)])       # [tiles+1]
     loc = ((live_off[:-1] % W)[:, None] + rank).astype(np.int32)
     blk = (live_off[:-1] // W).astype(np.int32)               # [tiles]
@@ -130,7 +141,7 @@ def pallas_seg_aux(key_sorted: np.ndarray, num_segments: int,
     live_key_ext = np.full(NB * W, num_segments, dtype=np.int32)
     live_key_ext[: len(pos)] = live_key
     return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
-                        live_key=live_key_ext, w=W)
+                        live_key=live_key_ext, w=W, v=v)
 
 
 def pallas_tab_window_aux(
@@ -226,10 +237,12 @@ def sort_batch(
     native: Optional[bool] = None,
     pk: Optional[int] = None,
     pw: Optional[int] = None,
+    tgt_rank_cap: int = 0,
 ) -> SortedEdges:
     return sort_edges(
         batch.edge_src, batch.edge_tgt, batch.edge_dt, batch.edge_mask,
         layout, em, num_relations, build_pallas_aux, native, pk, pw,
+        tgt_rank_cap,
     )
 
 
@@ -263,6 +276,7 @@ def sort_edges(
     native: Optional[bool] = None,
     pk: Optional[int] = None,
     pw: Optional[int] = None,
+    tgt_rank_cap: int = 0,
 ) -> SortedEdges:
     """Edge-arrays-only entry: callers holding flat edge arrays (e.g. the
     evaluator's forward wrapper) need not fabricate a full SubgraphBatch.
@@ -364,12 +378,14 @@ def sort_edges(
         perms=(perm_src, seg_ptr_src, perm_tab, seg_ptr_tab)
         if nb is not None else None,
         pk=PK, pw=PW, build_pallas_aux=build_pallas_aux,
+        tgt_rank_cap=tgt_rank_cap,
     )
 
 
 def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
                  *, N, B, C, L, nb=None, seg_ptr_tgt=None, perms=None,
-                 pk=None, pw=None, build_pallas_aux=True) -> SortedEdges:
+                 pk=None, pw=None, build_pallas_aux=True,
+                 tgt_rank_cap: int = 0) -> SortedEdges:
     """Aux construction + SortedEdges packing for edge arrays that are
     ALREADY tgt-sorted (key non-decreasing) and padded to a ``pk``
     multiple. Shared by :func:`sort_edges` (the full batch) and
@@ -426,8 +442,15 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
 
     pseg_tgt = pseg_src = pseg_tab = ptab_src = None
     if build_pallas_aux:
+        if tgt_rank_cap:
+            # rank-capped tgt aux (numpy builder; W = V = cap). None on a
+            # cap violation -> legacy width below (one-off retrace).
+            pseg_tgt = pallas_seg_aux(
+                key.astype(np.int64), N, PK, tgt_rank_cap, v=tgt_rank_cap
+            )
         if nb is not None:
-            pseg_tgt = nb.pallas_aux(key, N, PK, PW)
+            if pseg_tgt is None:
+                pseg_tgt = nb.pallas_aux(key, N, PK, PW)
             pseg_src = nb.pallas_aux(
                 np.ascontiguousarray(key_src_sorted, np.int32), B * C,
                 PK, PW)
@@ -437,7 +460,8 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
             ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, L, PK, PW)
                         if min(PK, PW) >= L else None)
         else:
-            pseg_tgt = pallas_seg_aux(key.astype(np.int64), N, PK, PW)
+            if pseg_tgt is None:
+                pseg_tgt = pallas_seg_aux(key.astype(np.int64), N, PK, PW)
             pseg_src = pallas_seg_aux(
                 key_src_sorted.astype(np.int64), B * C, PK, PW)
             pseg_tab = pallas_seg_aux(

@@ -329,3 +329,47 @@ def test_softmax_tilemax_matches_tiled(env):
     att = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32) * 40)
     att = jnp.where(jnp.asarray(se.edge_mask)[:, None], att, -1e30)
     assert np.isfinite(np.asarray(_softmax_tilemax(att, se))).all()
+
+
+def test_rank_capped_tgt_aux_matches_legacy(env):
+    """tgt_rank_cap: the narrow rank-capped one-hot (width W+V instead of
+    K+W) produces identical values/grads through the full core; a cap
+    violation falls back to the legacy aux instead of erroring."""
+    from pyhgt_tpu.sampling.sorted_batch import pallas_seg_aux
+
+    layout, em, batch, se0 = env
+    se1 = sort_batch(batch, layout, em, tgt_rank_cap=128)
+    assert se1.pseg_tgt is not None
+    assert se1.pseg_tgt.w == 128 and se1.pseg_tgt.v == 128
+    T, C = layout.num_types, layout.node_cap
+    Din, Dout, H = 24, 128, 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(21)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, se):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=True, save_kv=True, **params,
+        )
+        return jnp.sum(out * tgt)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=1e-4, atol=1e-5
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+    # violation -> None (caller falls back to the legacy width)
+    E = 2 * 384
+    all_distinct = np.arange(E, dtype=np.int64)
+    assert pallas_seg_aux(all_distinct, E, 384, 64, v=64) is None
