@@ -173,7 +173,7 @@ def _live_partials_call(blk, loc, data, *, w, v, precision, interpret):
     )(blk, loc3, data)
 
 
-def _seg_kernel_pair(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
+def _seg_kernel_pair(K, W, V, n_tiles, split_hi_lo, blk_ref, loc_ref,
                      d1_ref, d2_ref, o1_ref, o2_ref, a1_ref, a2_ref):
     """Two independent segment sums sharing one grid pass and one-hot.
 
@@ -195,15 +195,15 @@ def _seg_kernel_pair(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
 
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
-        a1_ref[0:K, :] = a1_ref[W:, :]
-        a1_ref[K:, :] = jnp.zeros_like(a1_ref[K:, :])
-        a2_ref[0:K, :] = a2_ref[W:, :]
-        a2_ref[K:, :] = jnp.zeros_like(a2_ref[K:, :])
+        a1_ref[0:V, :] = a1_ref[W:, :]
+        a1_ref[V:, :] = jnp.zeros_like(a1_ref[V:, :])
+        a2_ref[0:V, :] = a2_ref[W:, :]
+        a2_ref[V:, :] = jnp.zeros_like(a2_ref[V:, :])
 
     @pl.when(t < n_tiles)
     def _():
         loc = loc_ref[0, 0, :].reshape(K, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, W + V), 1)
         oh = (loc == col).astype(jnp.bfloat16)
         for x_ref, acc_ref in ((d1_ref, a1_ref), (d2_ref, a2_ref)):
             x = x_ref[...]
@@ -225,14 +225,17 @@ def _seg_kernel_pair(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
     o2_ref[...] = a2_ref[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
-def _live_partials_pair_call(blk, loc, d1, d2, *, w, precision, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("w", "v", "precision", "interpret"))
+def _live_partials_pair_call(blk, loc, d1, d2, *, w, v, precision,
+                             interpret):
     n_tiles, K = loc.shape
     D = d1.shape[-1]
     W = w
+    V = v or K
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high" and d1.dtype == jnp.float32
-    kernel = functools.partial(_seg_kernel_pair, K, W, n_tiles, split)
+    kernel = functools.partial(_seg_kernel_pair, K, W, V, n_tiles, split)
     loc3 = loc.reshape(n_tiles, 1, K)
     data_spec = pl.BlockSpec(
         (K, D), lambda t, b: (jnp.minimum(t, n_tiles - 1), 0),
@@ -251,8 +254,8 @@ def _live_partials_pair_call(blk, loc, d1, d2, *, w, precision, interpret):
             data_spec,
         ],
         out_specs=[out_spec, out_spec],
-        scratch_shapes=[pltpu.VMEM((K + W, D), jnp.float32),
-                        pltpu.VMEM((K + W, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((W + V, D), jnp.float32),
+                        pltpu.VMEM((W + V, D), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -261,7 +264,7 @@ def _live_partials_pair_call(blk, loc, d1, d2, *, w, precision, interpret):
                    jax.ShapeDtypeStruct((NB * W, D), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n_tiles * K * (K + W) * D * (2 if split else 1),
+            flops=2 * 2 * n_tiles * K * (W + V) * D * (2 if split else 1),
             bytes_accessed=2 * (d1.size * d1.dtype.itemsize
                                 + NB * W * D * 4),
             transcendentals=0,
@@ -284,7 +287,7 @@ def live_partials_pair(d1, d2, aux: PallasSegAux, *, precision: str = "high",
         raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
     return _live_partials_pair_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), d1, d2,
-        w=aux.w, precision=precision, interpret=interpret,
+        w=aux.w, v=aux.v, precision=precision, interpret=interpret,
     )
 
 
@@ -639,7 +642,7 @@ def live_partials_weighted(w, v, dk: int, aux: PallasSegAux, *,
     )
 
 
-def _seg_kernel_slab(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
+def _seg_kernel_slab(K, W, V, n_tiles, split_hi_lo, blk_ref, loc_ref,
                      d_ref, o1_ref, o2_ref, a1_ref, a2_ref):
     """Two segment sums over the lane halves of ONE [K, 2D] input slab.
 
@@ -660,15 +663,15 @@ def _seg_kernel_slab(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
 
     @pl.when(jnp.logical_and(t > 0, cur != prev))
     def _():
-        a1_ref[0:K, :] = a1_ref[W:, :]
-        a1_ref[K:, :] = jnp.zeros_like(a1_ref[K:, :])
-        a2_ref[0:K, :] = a2_ref[W:, :]
-        a2_ref[K:, :] = jnp.zeros_like(a2_ref[K:, :])
+        a1_ref[0:V, :] = a1_ref[W:, :]
+        a1_ref[V:, :] = jnp.zeros_like(a1_ref[V:, :])
+        a2_ref[0:V, :] = a2_ref[W:, :]
+        a2_ref[V:, :] = jnp.zeros_like(a2_ref[V:, :])
 
     @pl.when(t < n_tiles)
     def _():
         loc = loc_ref[0, 0, :].reshape(K, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (K, K + W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, W + V), 1)
         oh = (loc == col).astype(jnp.bfloat16)
         D = d_ref.shape[-1] // 2
         for sl, acc_ref in ((d_ref[:, :D], a1_ref), (d_ref[:, D:], a2_ref)):
@@ -690,15 +693,17 @@ def _seg_kernel_slab(K, W, n_tiles, split_hi_lo, blk_ref, loc_ref,
     o2_ref[...] = a2_ref[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("w", "precision", "interpret"))
-def _live_partials_slab_call(blk, loc, data, *, w, precision, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("w", "v", "precision", "interpret"))
+def _live_partials_slab_call(blk, loc, data, *, w, v, precision, interpret):
     n_tiles, K = loc.shape
     D2 = data.shape[-1]
     D = D2 // 2
     W = w
+    V = v or K
     NB = blk.shape[0] - n_tiles + 1
     split = precision == "high" and data.dtype == jnp.float32
-    kernel = functools.partial(_seg_kernel_slab, K, W, n_tiles, split)
+    kernel = functools.partial(_seg_kernel_slab, K, W, V, n_tiles, split)
     loc3 = loc.reshape(n_tiles, 1, K)
     out_spec = pl.BlockSpec((W, D), lambda t, b: (b[t], 0),
                             memory_space=pltpu.VMEM)
@@ -713,8 +718,8 @@ def _live_partials_slab_call(blk, loc, data, *, w, precision, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec],
-        scratch_shapes=[pltpu.VMEM((K + W, D), jnp.float32),
-                        pltpu.VMEM((K + W, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((W + V, D), jnp.float32),
+                        pltpu.VMEM((W + V, D), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -723,7 +728,7 @@ def _live_partials_slab_call(blk, loc, data, *, w, precision, interpret):
                    jax.ShapeDtypeStruct((NB * W, D), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * K * (K + W) * D2 * (2 if split else 1),
+            flops=2 * n_tiles * K * (W + V) * D2 * (2 if split else 1),
             bytes_accessed=data.size * data.dtype.itemsize
             + 2 * NB * W * D * 4,
             transcendentals=0,
@@ -747,7 +752,7 @@ def live_partials_slab(data, aux: PallasSegAux, *, precision: str = "high",
         raise ValueError(f"data rows {E} != aux tiles {n_tiles} * {K}")
     return _live_partials_slab_call(
         jnp.asarray(aux.blk), jnp.asarray(aux.loc), data,
-        w=aux.w, precision=precision, interpret=interpret,
+        w=aux.w, v=aux.v, precision=precision, interpret=interpret,
     )
 
 

@@ -146,7 +146,8 @@ def tab_window_aux(tab_src_order: np.ndarray, num_blocks: int, L: int,
         return None
     s = np.arange(num_blocks * L + 1)
     ptr2 = ((s // L) * W + s % L).astype(np.int32)
-    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W)
+    # straddle bounded by the table length (see the numpy builder)
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W, v=L)
 
 
 def pallas_aux(key_sorted: np.ndarray, num_segments: int, K: int, W: int):

@@ -186,7 +186,9 @@ def pallas_tab_window_aux(
     blk_ext = np.concatenate([blk, tail]).astype(np.int32)
     s = np.arange(num_blocks * L + 1)
     ptr2 = ((s // L) * W + s % L).astype(np.int32)
-    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W)
+    # straddle is bounded by the table length: loc ∈ [0, W + L), so the
+    # kernel one-hot narrows from W+K to W+L (e.g. 768 -> 624 at K=384)
+    return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W, v=L)
 
 
 def _tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int = REDUCE_TILE):
