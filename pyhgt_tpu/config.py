@@ -53,6 +53,10 @@ class ExperimentConfig:
                                        # like edge caps: measure max live
                                        # rows/tile on calib draws, add
                                        # ~30% headroom.
+    src_rank_cap: int = 0              # src-grouping rank cap (singleton
+                                       # split: degree-1 sources route
+                                       # through a gather; multi ranks
+                                       # must stay under the cap)
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

@@ -212,7 +212,7 @@ jax.tree_util.register_pytree_node(
 
 
 def _make_producer(sample_fn, layout, em, gp: int = 1,
-                   tgt_rank_cap: int = 0):
+                   tgt_rank_cap: int = 0, src_rank_cap: int = 0):
     """``gp > 1``: the item carries :class:`PartitionedEdges` (the graph
     axis's contiguous per-device edge slices, built on the producer
     threads) instead of SortedEdges."""
@@ -223,7 +223,8 @@ def _make_producer(sample_fn, layout, em, gp: int = 1,
 
     def fn(rng):
         tb = sample_fn(rng)
-        se = _sb(tb.sub, layout, em, tgt_rank_cap=tgt_rank_cap)
+        se = _sb(tb.sub, layout, em, tgt_rank_cap=tgt_rank_cap,
+                 src_rank_cap=src_rank_cap)
         if gp > 1:
             se = partition_sorted(
                 se, gp, num_blocks=len(layout.blocks),
@@ -598,6 +599,7 @@ def run_node_classification(
     sample_fn = _make_producer(
         task.make_sample_fn(train_pairs, splits["train"]), layout, em,
         gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
+        src_rank_cap=cfg.src_rank_cap,
     )
     history = []
     from pyhgt_tpu.train.log import MetricsLogger
@@ -763,7 +765,8 @@ def run_ogbn(
     )
     with PrefetchLoader(
         _make_producer(task.make_sample_fn("train"), layout, em,
-                       gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap),
+                       gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
+                       src_rank_cap=cfg.src_rank_cap),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,
     ) as loader:
@@ -934,6 +937,7 @@ def run_author_disambiguation(
         _make_producer(
             task.make_sample_fn(pairs["train"], splits["train"]), layout, em,
             gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
+        src_rank_cap=cfg.src_rank_cap,
         ),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,

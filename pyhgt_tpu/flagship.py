@@ -67,6 +67,8 @@ class FlagshipConfig:
     seg_tile: int = 0          # Pallas kernel tile size K
     # (0 = ops.pallas_seg.PK default; chip-sweep knob — FLOPs ∝ K+W)
     seg_w: int = 0             # Pallas output-block size W (0 = K)
+    src_rank_cap: int = 0      # src-grouping rank cap with singleton
+    # split (degree-1 sources bypass the kernel via a gather)
     seg_rank_cap: int = 0      # tgt-grouping rank cap V (0 = off): the
     # kernel one-hot narrows from K+W to V+V when live rows per tile
     # stay under V (measured 50 max at bench scale; see PERF_NOTES r3)
@@ -170,7 +172,8 @@ class Flagship:
         return sort_batch(batch, self.layout, self.em,
                           pk=self.cfg.seg_tile or None,
                           pw=self.cfg.seg_w or None,
-                          tgt_rank_cap=self.cfg.seg_rank_cap)
+                          tgt_rank_cap=self.cfg.seg_rank_cap,
+                          src_rank_cap=self.cfg.src_rank_cap)
 
     def batch_args(self, batch: SubgraphBatch):
         return (

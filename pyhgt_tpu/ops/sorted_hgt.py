@@ -299,8 +299,27 @@ def _seg_sum_grouped_pair(d1, d2, se, grouping: str, use_pallas: bool):
 
     Routes through :func:`pyhgt_tpu.ops.pallas_seg.live_partials_pair`
     (one grid pass, shared one-hot — the backward's g_k/g_v pairs) when
-    eligible; otherwise two independent reductions."""
+    eligible; otherwise two independent reductions.
+
+    The SRC grouping additionally supports the singleton-split aux
+    (``src_rank_cap``): degree-1 segments — whose "sum" is one row copy —
+    bypass the kernel through a pure gather, which bounds the remaining
+    multi-segment ranks and lets the kernel one-hot narrow from K+W to
+    2V (bench: 768 -> 128; docs/PERF_NOTES.md round-3)."""
     tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
+    pm = getattr(se, "pseg_src_multi", None) if grouping == "src" else None
+    if (pm is not None and _pallas_ok(d1, pm, use_pallas)
+            and d1.shape == d2.shape):
+        from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+
+        l1, l2 = live_partials_pair(d1, d2, pm)
+        s1 = seg_sum_csr(l1, pm.ptr2)
+        s2 = seg_sum_csr(l2, pm.ptr2)
+        idx, inv = se.src_single_edges, se.src_single_inv
+        z = jnp.zeros((1, d1.shape[1]), s1.dtype)
+        g1 = jnp.concatenate([_rows(d1, idx).astype(s1.dtype), z], axis=0)
+        g2 = jnp.concatenate([_rows(d2, idx).astype(s2.dtype), z], axis=0)
+        return s1 + _rows(g1, inv), s2 + _rows(g2, inv)
     paux = getattr(se, paux_n, None)
     if _pallas_ok(d1, paux, use_pallas) and d1.shape == d2.shape:
         from pyhgt_tpu.ops.pallas_seg import live_partials_pair

@@ -89,6 +89,12 @@ class SortedEdges:
     # [E, D] tab permutes in the backward); None when a tile spans >2
     # meta-blocks (tiny layouts) — callers fall back to pseg_tab
     ptab_src: Optional[PallasSegAux] = None
+    # singleton-split src aux (src_rank_cap): multi-edge segments through
+    # a rank-capped kernel, degree-1 segments via a pure gather —
+    # see pallas_seg_aux_split. None when the caps don't hold.
+    pseg_src_multi: Optional[PallasSegAux] = None
+    src_single_edges: Optional[np.ndarray] = None   # [cap] src-order idx
+    src_single_inv: Optional[np.ndarray] = None     # [G] -> row in G/zero
 
 
 REDUCE_TILE = 128
@@ -142,6 +148,84 @@ def pallas_seg_aux(key_sorted: np.ndarray, num_segments: int,
     live_key_ext[: len(pos)] = live_key
     return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
                         live_key=live_key_ext, w=W, v=v)
+
+
+def pallas_seg_aux_split(key_sorted: np.ndarray, num_segments: int,
+                         K: int = PK, W: int = PW, v: int = 0,
+                         single_cap: int = 0):
+    """Singleton-split aux: degree-1 segments bypass the kernel.
+
+    In the SRC grouping, runs of degree-1 sources make per-tile distinct
+    counts reach K (no rank cap possible on the full space) — but a
+    singleton segment's "sum" is just its one edge row. This builder
+    numbers ranks over MULTI-edge segments only (singleton edges get the
+    dead column loc = -1, matching no one-hot column) and returns the
+    singleton routing for a pure-gather combine:
+
+        bank = seg_sum_csr(kernel_partials, ptr2) + G_ext[single_inv]
+        where G = data_in_grouping_order[single_edges]  (+ a zero row)
+
+    Returns ``(aux, single_edges [single_cap], single_inv [S])`` or
+    ``None`` when the multi-rank cap ``v`` or ``single_cap`` is violated
+    (caller falls back to the legacy aux — a retrace, not an error).
+    Measured at bench scale: src singletons are 5.9% of edges and
+    multi-only distinct/tile maxes at 57 (vs 384 with singletons), so
+    v = 64 narrows the src pair kernels' one-hot 768 -> 128 (round-3,
+    docs/PERF_NOTES.md)."""
+    E = key_sorted.shape[0]
+    assert E % K == 0, f"edge count {E} not a multiple of the {K} tile"
+    assert v and single_cap, "split aux needs both caps"
+    assert W >= v, "W >= V keeps output-block steps <= 1"
+    tiles = E // K
+    key = np.asarray(key_sorted)
+    new = np.ones(E, dtype=bool)
+    new[1:] = key[1:] != key[:-1]
+    seg_start = np.flatnonzero(new)
+    seg_len = np.diff(np.append(seg_start, E))
+    is_single_seg = seg_len == 1
+    seg_of_edge = np.cumsum(new) - 1
+    single_edge = is_single_seg[seg_of_edge]          # [E] bool
+    n_single = int(is_single_seg.sum())
+    if n_single > single_cap:
+        return None
+
+    # multi-only ranks per tile
+    new2 = new.reshape(tiles, K).copy()
+    new2[:, 0] = True  # a segment continuing across a tile gets a new rank
+    multi_new = new2 & ~single_edge.reshape(tiles, K)
+    rank = np.cumsum(multi_new, axis=1) - 1           # [tiles, K]
+    n_live = multi_new.sum(axis=1)
+    if int(n_live.max()) > v:
+        return None
+    live_off = np.concatenate([[0], np.cumsum(n_live)])
+    loc = ((live_off[:-1] % W)[:, None] + rank).astype(np.int32)
+    loc[~multi_new & ~np.cumsum(multi_new, axis=1).astype(bool)] = -1
+    # ^ rows before the tile's first multi segment have rank -1 already
+    loc[single_edge.reshape(tiles, K)] = -1           # dead column
+    blk = (live_off[:-1] // W).astype(np.int32)
+    NB = (num_segments + tiles + W - 1) // W + 1
+    tail = np.minimum(blk[-1] + 1 + np.arange(NB - 1), NB - 1)
+    blk_ext = np.concatenate([blk, tail]).astype(np.int32)
+
+    pos = np.flatnonzero(multi_new.reshape(E))        # first edge per live row
+    live_key = key[pos]
+    ptr2 = np.searchsorted(live_key, np.arange(num_segments + 1)).astype(
+        np.int32
+    )
+    live_key_ext = np.full(NB * W, num_segments, dtype=np.int32)
+    live_key_ext[: len(pos)] = live_key
+    aux = PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2,
+                       live_key=live_key_ext, w=W, v=v)
+
+    single_edges = np.zeros(single_cap, np.int32)
+    se_idx = seg_start[is_single_seg]                 # the segment's one edge
+    single_edges[:n_single] = se_idx
+    single_inv = np.full(num_segments, single_cap, np.int32)  # -> zero row
+    single_rows = key[se_idx]
+    positions = np.arange(n_single)
+    keep = single_rows < num_segments                 # drop padding sentinel
+    single_inv[single_rows[keep]] = positions[keep].astype(np.int32)
+    return aux, single_edges, single_inv
 
 
 def pallas_tab_window_aux(
@@ -240,11 +324,12 @@ def sort_batch(
     pk: Optional[int] = None,
     pw: Optional[int] = None,
     tgt_rank_cap: int = 0,
+    src_rank_cap: int = 0,
 ) -> SortedEdges:
     return sort_edges(
         batch.edge_src, batch.edge_tgt, batch.edge_dt, batch.edge_mask,
         layout, em, num_relations, build_pallas_aux, native, pk, pw,
-        tgt_rank_cap,
+        tgt_rank_cap, src_rank_cap,
     )
 
 
@@ -279,6 +364,7 @@ def sort_edges(
     pk: Optional[int] = None,
     pw: Optional[int] = None,
     tgt_rank_cap: int = 0,
+    src_rank_cap: int = 0,
 ) -> SortedEdges:
     """Edge-arrays-only entry: callers holding flat edge arrays (e.g. the
     evaluator's forward wrapper) need not fabricate a full SubgraphBatch.
@@ -380,14 +466,14 @@ def sort_edges(
         perms=(perm_src, seg_ptr_src, perm_tab, seg_ptr_tab)
         if nb is not None else None,
         pk=PK, pw=PW, build_pallas_aux=build_pallas_aux,
-        tgt_rank_cap=tgt_rank_cap,
+        tgt_rank_cap=tgt_rank_cap, src_rank_cap=src_rank_cap,
     )
 
 
 def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
                  *, N, B, C, L, nb=None, seg_ptr_tgt=None, perms=None,
                  pk=None, pw=None, build_pallas_aux=True,
-                 tgt_rank_cap: int = 0) -> SortedEdges:
+                 tgt_rank_cap: int = 0, src_rank_cap: int = 0) -> SortedEdges:
     """Aux construction + SortedEdges packing for edge arrays that are
     ALREADY tgt-sorted (key non-decreasing) and padded to a ``pk``
     multiple. Shared by :func:`sort_edges` (the full batch) and
@@ -443,7 +529,16 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
         tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab_sorted, B * L)
 
     pseg_tgt = pseg_src = pseg_tab = ptab_src = None
+    pseg_src_multi = src_single_edges = src_single_inv = None
     if build_pallas_aux:
+        if src_rank_cap:
+            split = pallas_seg_aux_split(
+                np.ascontiguousarray(key_src_sorted, np.int64),
+                B * C, PK, src_rank_cap, v=src_rank_cap,
+                single_cap=max(len(key) // 8, src_rank_cap),
+            )
+            if split is not None:
+                pseg_src_multi, src_single_edges, src_single_inv = split
         if tgt_rank_cap:
             # rank-capped tgt aux (numpy builder; W = V = cap). None on a
             # cap violation -> legacy width below (one-off retrace).
@@ -501,4 +596,7 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
         pseg_src=pseg_src,
         pseg_tab=pseg_tab,
         ptab_src=ptab_src,
+        pseg_src_multi=pseg_src_multi,
+        src_single_edges=src_single_edges,
+        src_single_inv=src_single_inv,
     )

@@ -373,3 +373,43 @@ def test_rank_capped_tgt_aux_matches_legacy(env):
     E = 2 * 384
     all_distinct = np.arange(E, dtype=np.int64)
     assert pallas_seg_aux(all_distinct, E, 384, 64, v=64) is None
+
+
+def test_src_rank_cap_singleton_split_matches(env):
+    """src_rank_cap: degree-1 source segments bypass the kernel via a
+    pure gather, bounding multi-segment ranks so the src pair kernels
+    run rank-capped. Values/grads match the uncapped path within f32
+    reassociation (singletons actually gain precision: they skip the
+    bf16 one-hot)."""
+    layout, em, batch, _ = env
+    se0 = sort_batch(batch, layout, em)
+    se1 = sort_batch(batch, layout, em, src_rank_cap=128)
+    assert se1.pseg_src_multi is not None
+    assert se1.pseg_src_multi.w == 128 and se1.pseg_src_multi.v == 128
+    T, C = layout.num_types, layout.node_cap
+    Din, Dout, H = 24, 128, 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(31)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, se):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=True, save_kv=True, **params,
+        )
+        return jnp.sum(out * tgt)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=2e-3, atol=2e-4
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=2e-3, atol=2e-4, err_msg=k,
+        )
