@@ -37,12 +37,16 @@ def env():
     em = EdgeStaticMeta.from_layout(layout)
     batch = synth_batch(layout, np.random.default_rng(3), din=24,
                         node_fill=0.8, edge_fill=0.7)
-    se = sort_batch(batch, layout, em)
+    # pk=256 (vs the 384 production default) keeps the interpret-mode
+    # kernels ~2x cheaper on this tiny layout — the parity semantics are
+    # identical (tile size is swept separately in test_sorted_ops)
+    se = sort_batch(batch, layout, em, pk=256)
     n_parts = 4
     pe = partition_sorted(
         se, n_parts, num_blocks=len(layout.blocks),
         node_cap=layout.node_cap,
         num_nodes_flat=layout.num_types * layout.node_cap,
+        pk=256,
     )
     P_ = _params(np.random.default_rng(0), 2, schema.num_relations, 24, 24, 4)
     mesh = Mesh(np.asarray(jax.devices()[:n_parts]), ("graph",))
