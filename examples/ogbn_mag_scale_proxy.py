@@ -125,6 +125,9 @@ def main() -> int:
     ap.add_argument("--dir", default="/tmp/ogbn_mag_proxy")
     ap.add_argument("--max_eval_nodes", type=int, default=512)
     ap.add_argument("--vr_num", type=int, default=8)
+    ap.add_argument("--tgt_rank_cap", type=int, default=0,
+                    help="Pallas tgt rank cap (round-3 kernel knob; "
+                         "batches that violate it fall back per batch)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -162,6 +165,7 @@ def main() -> int:
         save_kv=True, calibrate_caps=True,
         # production kernel config (bench-validated winners, PERF_NOTES r2)
         edge_bf16=True, seg_pallas=True,
+        tgt_rank_cap=args.tgt_rank_cap,
     )
     out = run_ogbn(cfg, graph, max_eval_nodes=args.max_eval_nodes)
     res = dict(
