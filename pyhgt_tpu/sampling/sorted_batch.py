@@ -554,8 +554,12 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
             pseg_tab = nb.pallas_aux(
                 np.ascontiguousarray(key_tab_sorted, np.int32), B * L,
                 PK, PW)
-            ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, L, PK, PW)
-                        if min(PK, PW) >= L else None)
+            # the window's only W constraint is W >= L (blocks are META
+            # blocks, advance <= 1/tile regardless of W) — W = L minimizes
+            # the kernel one-hot width to 2L (round-3)
+            W_tab = ((L + 7) // 8) * 8
+            ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, L, PK,
+                                          W_tab) if PK >= L else None)
         else:
             if pseg_tgt is None:
                 pseg_tgt = pallas_seg_aux(key.astype(np.int64), N, PK, PW)
@@ -563,8 +567,9 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
                 key_src_sorted.astype(np.int64), B * C, PK, PW)
             pseg_tab = pallas_seg_aux(
                 key_tab_sorted.astype(np.int64), B * L, PK, PW)
-            ptab_src = (pallas_tab_window_aux(tabidx[perm_src], B, L, PK, PW)
-                        if min(PK, PW) >= L else None)
+            W_tab = ((L + 7) // 8) * 8
+            ptab_src = (pallas_tab_window_aux(
+                tabidx[perm_src], B, L, PK, W_tab) if PK >= L else None)
 
     return SortedEdges(
         edge_src=src.astype(np.int32),
