@@ -57,6 +57,20 @@ class ExperimentConfig:
                                        # split: degree-1 sources route
                                        # through a gather; multi ranks
                                        # must stay under the cap)
+    src_split_cap: int = 0             # two-region src reduction: meta
+                                       # blocks through a kernel capped
+                                       # at this rank, the self-block
+                                       # tail through a plain CSR (needs
+                                       # tile-aligned meta caps; falls
+                                       # back per batch otherwise)
+    tab_cap: int = 0                   # tab compaction: per-block
+                                       # occupied-Δt rank remap of the
+                                       # RTE table space (multiple of 8;
+                                       # falls back per batch if a block
+                                       # occupies more Δt slots)
+    softmax_tilemax: str = ""          # "" | "on" | "auto": per-tile-max
+                                       # online softmax; "auto" adds a
+                                       # runtime spread guard + fallback
 
     # -- sampling ---------------------------------------------------------
     sample_depth: int = 6              # --sample_depth (:38-39)

@@ -151,6 +151,7 @@ def gnn_kwargs(cfg: ExperimentConfig, layout: BatchLayout, in_dim: int) -> dict:
         edge_bwd=cfg.edge_bwd,
         seg_pallas=cfg.seg_pallas,
         softmax_pallas=cfg.softmax_pallas,
+        softmax_tilemax=getattr(cfg, "softmax_tilemax", ""),
         # gp>1: convs run the edge-partitioned core under shard_map when a
         # PartitionedEdges block is passed (eval still rides the se path)
         graph_axis="graph" if cfg.gp > 1 else "",
@@ -212,7 +213,8 @@ jax.tree_util.register_pytree_node(
 
 
 def _make_producer(sample_fn, layout, em, gp: int = 1,
-                   tgt_rank_cap: int = 0, src_rank_cap: int = 0):
+                   tgt_rank_cap: int = 0, src_rank_cap: int = 0,
+                   tab_cap: int = 0, src_split_cap: int = 0):
     """``gp > 1``: the item carries :class:`PartitionedEdges` (the graph
     axis's contiguous per-device edge slices, built on the producer
     threads) instead of SortedEdges."""
@@ -220,11 +222,15 @@ def _make_producer(sample_fn, layout, em, gp: int = 1,
 
     if gp > 1:
         from pyhgt_tpu.parallel.edge_partition import partition_sorted
+        # per-shard aux is rebuilt from se.tabidx inside partition_sorted,
+        # which assumes the uncompacted B*L tab space — keep it that way
+        tab_cap = src_split_cap = 0
 
     def fn(rng):
         tb = sample_fn(rng)
         se = _sb(tb.sub, layout, em, tgt_rank_cap=tgt_rank_cap,
-                 src_rank_cap=src_rank_cap)
+                 src_rank_cap=src_rank_cap, tab_cap=tab_cap,
+                 src_split_cap=src_split_cap)
         if gp > 1:
             se = partition_sorted(
                 se, gp, num_blocks=len(layout.blocks),
@@ -599,7 +605,8 @@ def run_node_classification(
     sample_fn = _make_producer(
         task.make_sample_fn(train_pairs, splits["train"]), layout, em,
         gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
-        src_rank_cap=cfg.src_rank_cap,
+        src_rank_cap=cfg.src_rank_cap, tab_cap=cfg.tab_cap,
+        src_split_cap=cfg.src_split_cap,
     )
     history = []
     from pyhgt_tpu.train.log import MetricsLogger
@@ -766,7 +773,8 @@ def run_ogbn(
     with PrefetchLoader(
         _make_producer(task.make_sample_fn("train"), layout, em,
                        gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
-                       src_rank_cap=cfg.src_rank_cap),
+                       src_rank_cap=cfg.src_rank_cap, tab_cap=cfg.tab_cap,
+                       src_split_cap=cfg.src_split_cap),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,
     ) as loader:
@@ -937,7 +945,8 @@ def run_author_disambiguation(
         _make_producer(
             task.make_sample_fn(pairs["train"], splits["train"]), layout, em,
             gp=cfg.gp, tgt_rank_cap=cfg.tgt_rank_cap,
-        src_rank_cap=cfg.src_rank_cap,
+            src_rank_cap=cfg.src_rank_cap, tab_cap=cfg.tab_cap,
+            src_split_cap=cfg.src_split_cap,
         ),
         n_workers=cfg.n_pool, repeat=cfg.repeat, seed=cfg.seed,
         **loader_kw,

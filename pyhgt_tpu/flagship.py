@@ -69,6 +69,16 @@ class FlagshipConfig:
     seg_w: int = 0             # Pallas output-block size W (0 = K)
     src_rank_cap: int = 0      # src-grouping rank cap with singleton
     # split (degree-1 sources bypass the kernel via a gather)
+    src_split_cap: int = 0     # two-region src reduction (round-4):
+    # meta blocks through a kernel rank-capped at this value, the
+    # self-block tail through a plain CSR — needs the meta capacities
+    # tile-aligned (see sampling/sorted_batch._src_split_aux)
+    tab_cap: int = 0           # tab compaction (round-4): per-block
+    # occupied-Δt rank remap; the tab kernels' one-hot narrows from
+    # W+L=480 to ~2*cap (falls back per batch if a block occupies more
+    # Δt slots than the cap)
+    softmax_tilemax: str = ""  # "" | "on" | "auto" (runtime-guarded
+    # per-tile-max online softmax; see ops/sorted_hgt)
     seg_rank_cap: int = 0      # tgt-grouping rank cap V (0 = off): the
     # kernel one-hot narrows from K+W to V+V when live rows per tile
     # stay under V (measured 50 max at bench scale; see PERF_NOTES r3)
@@ -137,6 +147,7 @@ class FlagshipModel(nn.Module):
             edge_bwd=c.edge_bwd,
             seg_pallas=c.seg_pallas,
             softmax_pallas=c.softmax_pallas,
+            softmax_tilemax=c.softmax_tilemax,
             graph_axis=c.graph_axis,
             gp_overlap=c.gp_overlap,
         )
@@ -173,7 +184,9 @@ class Flagship:
                           pk=self.cfg.seg_tile or None,
                           pw=self.cfg.seg_w or None,
                           tgt_rank_cap=self.cfg.seg_rank_cap,
-                          src_rank_cap=self.cfg.src_rank_cap)
+                          src_rank_cap=self.cfg.src_rank_cap,
+                          tab_cap=self.cfg.tab_cap,
+                          src_split_cap=self.cfg.src_split_cap)
 
     def batch_args(self, batch: SubgraphBatch):
         return (

@@ -75,6 +75,10 @@ class HGTConv(nn.Module):
                               # the wide [E, D] reductions (ops/pallas_seg)
     softmax_pallas: bool = False  # sorted path: fused online-softmax kernel
                                   # (experimental; see ops/sorted_hgt)
+    softmax_tilemax: str = ""  # sorted path: per-tile-max online softmax —
+                               # "" off | "on" (unguarded) | "auto"
+                               # (runtime spread guard + lax.cond fallback;
+                               # see ops/sorted_hgt._softmax_tilemax_auto)
     graph_axis: str = ""   # set to a mesh axis name to run edge-partitioned
     gp_overlap: bool = False  # gp: ring-allreduce boundary exchange
 
@@ -201,6 +205,10 @@ class HGTConv(nn.Module):
             bwd_slab = self.edge_bwd == "slab"
             seg_pallas = self.seg_pallas
             softmax_pallas = self.softmax_pallas
+            softmax_tilemax = (
+                "auto" if self.softmax_tilemax == "auto"
+                else bool(self.softmax_tilemax)
+            )
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -211,6 +219,7 @@ class HGTConv(nn.Module):
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
                     bwd_src_direct=src_direct, bwd_slab=bwd_slab,
                     seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
+                    softmax_tilemax=softmax_tilemax,
                 )
 
             if self.remat:
@@ -271,6 +280,7 @@ class DenseHGTConv(nn.Module):
     edge_bwd: str = "permute"
     seg_pallas: bool = False
     softmax_pallas: bool = False
+    softmax_tilemax: str = ""
 
     def setup(self):
         T, R, H = self.num_types, self.num_relations, self.n_heads
@@ -332,6 +342,10 @@ class DenseHGTConv(nn.Module):
             bwd_slab = self.edge_bwd == "slab"
             seg_pallas = self.seg_pallas
             softmax_pallas = self.softmax_pallas
+            softmax_tilemax = (
+                "auto" if self.softmax_tilemax == "auto"
+                else bool(self.softmax_tilemax)
+            )
 
             def core(x_, se_, wq, bq, wk, bk, wv, bv, pri, ratt, rmsg, rv):
                 return hgt_conv_core_sorted(
@@ -342,6 +356,7 @@ class DenseHGTConv(nn.Module):
                     edge_dtype=edge_dtype, bwd_recompute=bwd_rec,
                     bwd_src_direct=src_direct, bwd_slab=bwd_slab,
                     seg_pallas=seg_pallas, softmax_pallas=softmax_pallas,
+                    softmax_tilemax=softmax_tilemax,
                 )
 
             if self.remat:
@@ -609,6 +624,7 @@ class GeneralConv(nn.Module):
     edge_bwd: str = "permute"
     seg_pallas: bool = False
     softmax_pallas: bool = False
+    softmax_tilemax: str = ""
     graph_axis: str = ""
     gp_overlap: bool = False
 
@@ -629,6 +645,7 @@ class GeneralConv(nn.Module):
             edge_bwd=self.edge_bwd,
             seg_pallas=self.seg_pallas,
             softmax_pallas=self.softmax_pallas,
+            softmax_tilemax=self.softmax_tilemax,
             graph_axis=self.graph_axis,
             gp_overlap=self.gp_overlap,
         )

@@ -43,6 +43,7 @@ class GNN(nn.Module):
     edge_bwd: str = "permute"
     seg_pallas: bool = False
     softmax_pallas: bool = False
+    softmax_tilemax: str = ""
     graph_axis: str = ""
     gp_overlap: bool = False
 
@@ -76,6 +77,7 @@ class GNN(nn.Module):
                     edge_bwd=self.edge_bwd,
                     seg_pallas=self.seg_pallas,
                     softmax_pallas=self.softmax_pallas,
+                    softmax_tilemax=self.softmax_tilemax,
                     graph_axis=self.graph_axis,
                     gp_overlap=self.gp_overlap,
                 )

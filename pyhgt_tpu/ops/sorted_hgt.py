@@ -307,6 +307,27 @@ def _seg_sum_grouped_pair(d1, d2, se, grouping: str, use_pallas: bool):
     multi-segment ranks and lets the kernel one-hot narrow from K+W to
     2V (bench: 768 -> 128; docs/PERF_NOTES.md round-3)."""
     tl_n, li_n, sp2_n, paux_n = _GROUPING_AUX[grouping]
+    lo = getattr(se, "pseg_src_lo", None) if grouping == "src" else None
+    if (lo is not None and _pallas_ok(d1, lo, use_pallas)
+            and d1.shape == d2.shape):
+        # two-region src reduction (round-4): region 1 (the meta blocks,
+        # a static contiguous slice) through the rank-capped kernel —
+        # one-hot W+V = 2*cap wide instead of K+W; region 2 (the self
+        # blocks: one edge per node, /root/reference/pyHGT/data.py:
+        # 241-243) is singleton-dominated, so a plain cumsum-diff CSR
+        # over its few rows replaces the kernel outright. Banks
+        # concatenate — the segment spaces are disjoint by construction
+        # (sampling/sorted_batch._src_split_aux).
+        from pyhgt_tpu.ops.pallas_seg import live_partials_pair
+
+        cut = se.src_cut
+        l1, l2 = live_partials_pair(d1[:cut], d2[:cut], lo)
+        h1 = seg_sum_csr(l1, lo.ptr2)
+        h2 = seg_sum_csr(l2, lo.ptr2)
+        t1 = seg_sum_csr(d1[cut:], se.src_tail_ptr2)
+        t2 = seg_sum_csr(d2[cut:], se.src_tail_ptr2)
+        return (jnp.concatenate([h1, t1], axis=0),
+                jnp.concatenate([h2, t2], axis=0))
     pm = getattr(se, "pseg_src_multi", None) if grouping == "src" else None
     if (pm is not None and _pallas_ok(d1, pm, use_pallas)
             and d1.shape == d2.shape):
@@ -512,6 +533,35 @@ def _softmax_tilemax(att, se, K=_TILE):
     return ex / den_e
 
 
+# exp(att - m_tile) underflows to zero below ~-87.3 (f32 min normal);
+# the guard trips with headroom so the auto path is bitwise-safe
+TILEMAX_SPREAD = 80.0
+
+
+def _softmax_tilemax_auto(att, se, K=_TILE):
+    """Runtime-guarded :func:`_softmax_tilemax` (VERDICT r3 #4).
+
+    The tilemax softmax is exact whenever every live logit sits within
+    ~87 of its 128-edge tile's max — true at trained-logit scales but not
+    guaranteed. One cheap [E, H] reduction checks the bound per batch and
+    ``lax.cond`` falls back to the shift-scan softmax on violation: both
+    branches compile once, exactly one executes per step — the rank-cap
+    fallback pattern applied at runtime instead of trace time.
+    """
+    E, H = att.shape
+    tiles = E // K
+    a3 = att.reshape(tiles, K, H)
+    m_tile = jnp.max(a3, axis=1, keepdims=True)           # [tiles, 1, H]
+    live = se.edge_mask.reshape(tiles, K)[:, :, None]
+    bad = jnp.any(((m_tile - a3) > TILEMAX_SPREAD) & live)
+    return jax.lax.cond(
+        bad,
+        lambda a: _softmax_tiled(a, se),
+        lambda a: _softmax_tilemax(a, se, K),
+        att,
+    )
+
+
 def _softmax_pallas(att, se):
     """Segment softmax via the fused Pallas online-partials kernel
     (:func:`pyhgt_tpu.ops.pallas_seg.segment_softmax_partials`): one HBM
@@ -559,7 +609,11 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
     ):
         w = _softmax_pallas(att, se)                         # [E, H] f32
     elif xr is None and softmax_tilemax:
-        w = _softmax_tilemax(att, se)                        # [E, H] f32
+        # dims[9]: 0 off | 1 unguarded tilemax | 2 runtime-guarded auto
+        if softmax_tilemax == 2:
+            w = _softmax_tilemax_auto(att, se)               # [E, H] f32
+        else:
+            w = _softmax_tilemax(att, se)                    # [E, H] f32
     else:
         w = _softmax_tiled(att, se, xr)                      # [E, H] f32
     # per-edge messages formed in VMEM on the Pallas path (never hit HBM);
@@ -804,8 +858,11 @@ def hgt_conv_core_sorted(
     # g_k/g_v pair natively in src order (see _edge_bwd)
     bwd_slab: bool = False,  # lane-concatenated backward: ONE [E, 2D]
     # permute + slab pair kernel instead of two [E, D] permutes
-    softmax_tilemax: bool = False,  # per-tile-max online softmax (kills
-    # the 7-step shift scan; see _softmax_tilemax)
+    softmax_tilemax=False,  # per-tile-max online softmax (kills the
+    # 7-step shift scan; see _softmax_tilemax). False/0 off, True/1 on
+    # (logit-spread domain bound unchecked), "auto"/2 = runtime-guarded:
+    # a per-batch spread check + lax.cond fallback to the scan softmax
+    # (_softmax_tilemax_auto) makes it always exact
     axis_name: str = "",  # graph-axis name: se is one shard of a
     # partitioned batch; softmax stats + aggregation cross shards
     gp_overlap: bool = False,  # ring-allreduce boundary exchange
@@ -852,6 +909,16 @@ def hgt_conv_core_sorted(
         L = rte_vec.shape[0]
         k_tab = _rte_block_tables(rte_vec, wk, rel_att, em, H, dk).reshape(B * L, Dout)
         v_tab = _rte_block_tables(rte_vec, wv, rel_msg, em, H, dk).reshape(B * L, Dout)
+        tab_sel = getattr(se, "tab_sel", None)
+        if tab_sel is not None:
+            # tab compaction (round-4): keep only the per-block OCCUPIED
+            # (block, Δt) table rows — se.tabidx and every tab aux are
+            # already in the compact space (sampling/sorted_batch.
+            # _compact_tab). The gather's autodiff transpose is a tiny
+            # [B*cap -> B*L] scatter-add outside the custom VJP; the
+            # tab-window kernels' one-hot narrows from W+L to ~2*cap.
+            k_tab = k_tab[jnp.asarray(tab_sel)]
+            v_tab = v_tab[jnp.asarray(tab_sel)]
     else:
         k_tab = jnp.zeros((1, Dout), dtype=x.dtype)
         v_tab = jnp.zeros((1, Dout), dtype=x.dtype)
@@ -868,8 +935,10 @@ def hgt_conv_core_sorted(
         v_tab = v_tab.astype(edge_dtype)
 
     xr = (axis_name, gp_overlap) if axis_name else None
+    tilemax_mode = 2 if softmax_tilemax == "auto" else int(
+        bool(softmax_tilemax))
     dims = (H, dk, use_rte, save_kv, bwd_recompute, seg_pallas,
-            softmax_pallas, bwd_src_direct, bwd_slab, softmax_tilemax, xr)
+            softmax_pallas, bwd_src_direct, bwd_slab, tilemax_mode, xr)
     aggr = hgt_edge_stage(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se)
     if xr is not None:
         # per-shard partial aggregations combine once per layer (outside

@@ -95,6 +95,25 @@ class SortedEdges:
     pseg_src_multi: Optional[PallasSegAux] = None
     src_single_edges: Optional[np.ndarray] = None   # [cap] src-order idx
     src_single_inv: Optional[np.ndarray] = None     # [G] -> row in G/zero
+    # tab compaction (tab_cap, round-4): tabidx and every tab aux are
+    # remapped to per-block *occupied-Δt ranks* (bench: 60 distinct Δt of
+    # 240 possible), shrinking the tab kernels' one-hot from W+L=480 to
+    # ~2*cap and the RTE table space from B*L to B*cap. ``tab_sel``
+    # gathers the compact table rows out of the full [B*L, D] device
+    # build (ops/sorted_hgt.hgt_conv_core_sorted). None = uncompacted.
+    tab_sel: Optional[np.ndarray] = None
+    # two-region src reduction (src_split_cap, round-4): the src-sorted
+    # edge array splits at the STATIC meta/self block boundary (self
+    # blocks sort last and are singleton-dominated — one self edge per
+    # node, /root/reference/pyHGT/data.py:241-243's self loops). Region 1
+    # (meta blocks) runs the rank-capped kernel (one-hot 2*cap wide);
+    # region 2 (the small self tail) needs NO kernel — a plain
+    # cumsum-diff CSR over its rows. Replaces the round-3 singleton
+    # split's random bypass gathers with a contiguous slice.
+    pseg_src_lo: Optional[PallasSegAux] = None      # region-1 capped aux
+    src_tail_ptr2: Optional[np.ndarray] = None      # [G - S1 + 1]
+    src_cut: int = struct.field(pytree_node=False, default=0)
+    src_s1: int = struct.field(pytree_node=False, default=0)
 
 
 REDUCE_TILE = 128
@@ -275,6 +294,72 @@ def pallas_tab_window_aux(
     return PallasSegAux(loc=loc, blk=blk_ext, ptr2=ptr2, w=W, v=L)
 
 
+def _compact_tab(tabidx: np.ndarray, key_tab_sorted: np.ndarray,
+                 B: int, L: int, cap: int):
+    """Per-block occupied-Δt compaction of the RTE table space.
+
+    The RTE table index ``tabidx = block*L + Δt`` spans B*L rows, but real
+    graphs occupy few Δt slots per block (bench: max 59 of 240 — papers
+    cluster in years; ``/root/reference/pyHGT/data.py:250`` caps the span
+    at 120 either way). Remapping Δt to its *rank among the block's
+    occupied slots* shrinks the tab grouping's segment space to B*cap,
+    which narrows the tab-window kernels' one-hot from W+L to ~2*cap and
+    the per-edge table gathers to a B*cap-row table.
+
+    Returns ``(tabidx_c, key_c, tab_sel)`` — the remapped edge index, the
+    remapped (still sorted: the map is monotone) tab-grouping sort key,
+    and the [B*cap] original row per compact row (dead compact slots point
+    at their block's last original slot; no edge maps there, so forward
+    rows are never gathered and backward scatter adds zeros) — or
+    ``(None, None, None)`` when a block occupies more than ``cap`` slots
+    (caller keeps the uncompacted aux; a retrace, not an error).
+    """
+    used = np.zeros(B * L, dtype=bool)
+    used[tabidx] = True
+    u2 = used.reshape(B, L)
+    occ = u2.sum(axis=1)
+    if int(occ.max(initial=0)) > cap:
+        return None, None, None
+    rank = np.cumsum(u2, axis=1) - 1                      # [B, L]
+    slot_rank = np.where(u2, rank, 0).reshape(B * L)
+    comp_of = (np.arange(B * L) // L * cap + slot_rank).astype(np.int32)
+    tabidx_c = comp_of[tabidx]
+    key_c = comp_of[np.asarray(key_tab_sorted, np.int64)]
+    tab_sel = np.empty(B * cap, np.int32)
+    for b in range(B):
+        rows = np.flatnonzero(u2[b])
+        tab_sel[b * cap: b * cap + len(rows)] = b * L + rows
+        tab_sel[b * cap + len(rows): (b + 1) * cap] = b * L + (L - 1)
+    return tabidx_c, key_c.astype(np.int64), tab_sel
+
+
+def _src_split_aux(key_src_sorted: np.ndarray, cut: int, s1: int,
+                   seg_ptr_src: np.ndarray, G: int, K: int, cap: int):
+    """Region auxes for the two-region src reduction.
+
+    ``cut`` (edge index) / ``s1`` (segment index) mark the static
+    meta/self boundary in src order: every edge < cut must carry a key
+    < s1 and every edge >= cut a key >= s1 (the masked-edge convention
+    makes per-block counts static, so this holds whenever the layout's
+    meta capacities are tile-aligned). Returns ``(aux_lo, tail_ptr2)`` or
+    ``(None, None)`` when the boundary or the region-1 rank cap doesn't
+    hold (caller falls back to the single-call kernel).
+    """
+    key = np.asarray(key_src_sorted, np.int64)
+    E = key.shape[0]
+    if not (0 < cut < E) or cut % K:
+        return None, None
+    if key[cut - 1] >= s1 or key[cut] < s1:
+        return None, None
+    aux_lo = pallas_seg_aux(key[:cut], s1, K, cap, v=cap)
+    if aux_lo is None:
+        return None, None
+    tail_ptr2 = (np.asarray(seg_ptr_src[s1:], np.int64) - cut).astype(
+        np.int32
+    )
+    return aux_lo, tail_ptr2
+
+
 def _tiled_aux(key_sorted: np.ndarray, num_segments: int, K: int = REDUCE_TILE):
     """Host aux for the hierarchical tiled reduction over one grouping.
 
@@ -325,11 +410,13 @@ def sort_batch(
     pw: Optional[int] = None,
     tgt_rank_cap: int = 0,
     src_rank_cap: int = 0,
+    tab_cap: int = 0,
+    src_split_cap: int = 0,
 ) -> SortedEdges:
     return sort_edges(
         batch.edge_src, batch.edge_tgt, batch.edge_dt, batch.edge_mask,
         layout, em, num_relations, build_pallas_aux, native, pk, pw,
-        tgt_rank_cap, src_rank_cap,
+        tgt_rank_cap, src_rank_cap, tab_cap, src_split_cap,
     )
 
 
@@ -365,6 +452,8 @@ def sort_edges(
     pw: Optional[int] = None,
     tgt_rank_cap: int = 0,
     src_rank_cap: int = 0,
+    tab_cap: int = 0,
+    src_split_cap: int = 0,
 ) -> SortedEdges:
     """Edge-arrays-only entry: callers holding flat edge arrays (e.g. the
     evaluator's forward wrapper) need not fabricate a full SubgraphBatch.
@@ -459,6 +548,17 @@ def sort_edges(
         safe_tgt = safe_tgt_n
     else:
         safe_tgt = np.where(mask, tgt, N - 1).astype(np.int32)
+    src_cut = src_s1 = 0
+    if src_split_cap:
+        # static meta/self boundary in src order (per-block counts are
+        # static by the masked-edge convention; self blocks come last in
+        # GraphSchema.build_blocks). Valid only when the meta capacities
+        # happen to be tile-aligned — _src_split_aux re-verifies.
+        n_meta = sum(1 for b in layout.blocks if b.meta.rel != "self")
+        src_cut = sum(
+            b.cap for b in layout.blocks if b.meta.rel != "self"
+        )
+        src_s1 = n_meta * C
     return _pack_sorted(
         src.astype(np.int32), safe_tgt, dt.astype(np.int32), mask, key,
         gidx, tabidx, onehot, N=N, B=B, C=C, L=L, nb=nb,
@@ -467,13 +567,17 @@ def sort_edges(
         if nb is not None else None,
         pk=PK, pw=PW, build_pallas_aux=build_pallas_aux,
         tgt_rank_cap=tgt_rank_cap, src_rank_cap=src_rank_cap,
+        tab_cap=tab_cap, src_cut=src_cut, src_s1=src_s1,
+        src_split_cap=src_split_cap,
     )
 
 
 def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
                  *, N, B, C, L, nb=None, seg_ptr_tgt=None, perms=None,
                  pk=None, pw=None, build_pallas_aux=True,
-                 tgt_rank_cap: int = 0, src_rank_cap: int = 0) -> SortedEdges:
+                 tgt_rank_cap: int = 0, src_rank_cap: int = 0,
+                 tab_cap: int = 0, src_cut: int = 0, src_s1: int = 0,
+                 src_split_cap: int = 0) -> SortedEdges:
     """Aux construction + SortedEdges packing for edge arrays that are
     ALREADY tgt-sorted (key non-decreasing) and padded to a ``pk``
     multiple. Shared by :func:`sort_edges` (the full batch) and
@@ -514,6 +618,26 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
             np.asarray(key, np.int64), np.arange(N + 1)
         ).astype(np.int32)
 
+    # tab compaction: remap the tab grouping to per-block occupied-Δt
+    # ranks BEFORE any tab aux is built. The remap is monotone, so
+    # perm_tab / the sortedness of key_tab_sorted are preserved; only the
+    # segment space (B*L -> B*Lt) and the keys change.
+    tab_sel = None
+    Lt = L
+    if tab_cap and tab_cap % 8 == 0 and tab_cap < L:
+        tabidx_c, key_c, tab_sel = _compact_tab(
+            tabidx, key_tab_sorted, B, L, tab_cap
+        )
+        if tabidx_c is not None:
+            tabidx = tabidx_c
+            key_tab_sorted = key_c
+            Lt = tab_cap
+            seg_ptr_tab = np.searchsorted(
+                key_tab_sorted, np.arange(B * Lt + 1)
+            ).astype(np.int32)
+        else:
+            tab_sel = None
+
     if nb is not None:
         tl_tgt, li_tgt, lk_tgt, ll_tgt, sp2_tgt = nb.tiled_aux(
             key, N, REDUCE_TILE)
@@ -521,15 +645,23 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
             np.ascontiguousarray(key_src_sorted, np.int32), B * C,
             REDUCE_TILE)
         tl_tab, li_tab, _lk2, _ll2, sp2_tab = nb.tiled_aux(
-            np.ascontiguousarray(key_tab_sorted, np.int32), B * L,
+            np.ascontiguousarray(key_tab_sorted, np.int32), B * Lt,
             REDUCE_TILE)
     else:
         tl_tgt, li_tgt, lk_tgt, ll_tgt, sp2_tgt = _tiled_aux(key, N)
         tl_src, li_src, _lk, _ll, sp2_src = _tiled_aux(key_src_sorted, B * C)
-        tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab_sorted, B * L)
+        tl_tab, li_tab, _lk2, _ll2, sp2_tab = _tiled_aux(key_tab_sorted, B * Lt)
 
     pseg_tgt = pseg_src = pseg_tab = ptab_src = None
     pseg_src_multi = src_single_edges = src_single_inv = None
+    pseg_src_lo = src_tail_ptr2 = None
+    if build_pallas_aux and src_split_cap and src_cut and src_s1:
+        pseg_src_lo, src_tail_ptr2 = _src_split_aux(
+            key_src_sorted, src_cut, src_s1, seg_ptr_src, B * C, PK,
+            src_split_cap,
+        )
+    if pseg_src_lo is None:
+        src_cut = src_s1 = 0
     if build_pallas_aux:
         if src_rank_cap:
             split = pallas_seg_aux_split(
@@ -552,24 +684,25 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
                 np.ascontiguousarray(key_src_sorted, np.int32), B * C,
                 PK, PW)
             pseg_tab = nb.pallas_aux(
-                np.ascontiguousarray(key_tab_sorted, np.int32), B * L,
+                np.ascontiguousarray(key_tab_sorted, np.int32), B * Lt,
                 PK, PW)
             # the window's only W constraint is W >= L (blocks are META
             # blocks, advance <= 1/tile regardless of W) — W = L minimizes
-            # the kernel one-hot width to 2L (round-3)
-            W_tab = ((L + 7) // 8) * 8
-            ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, L, PK,
-                                          W_tab) if PK >= L else None)
+            # the kernel one-hot width to 2L (round-3); with tab
+            # compaction L here is the compact slot count Lt
+            W_tab = ((Lt + 7) // 8) * 8
+            ptab_src = (nb.tab_window_aux(tabidx[perm_src], B, Lt, PK,
+                                          W_tab) if PK >= Lt else None)
         else:
             if pseg_tgt is None:
                 pseg_tgt = pallas_seg_aux(key.astype(np.int64), N, PK, PW)
             pseg_src = pallas_seg_aux(
                 key_src_sorted.astype(np.int64), B * C, PK, PW)
             pseg_tab = pallas_seg_aux(
-                key_tab_sorted.astype(np.int64), B * L, PK, PW)
-            W_tab = ((L + 7) // 8) * 8
+                key_tab_sorted.astype(np.int64), B * Lt, PK, PW)
+            W_tab = ((Lt + 7) // 8) * 8
             ptab_src = (pallas_tab_window_aux(
-                tabidx[perm_src], B, L, PK, W_tab) if PK >= L else None)
+                tabidx[perm_src], B, Lt, PK, W_tab) if PK >= Lt else None)
 
     return SortedEdges(
         edge_src=src.astype(np.int32),
@@ -604,4 +737,9 @@ def _pack_sorted(src, safe_tgt, dt, mask, key, gidx, tabidx, onehot,
         pseg_src_multi=pseg_src_multi,
         src_single_edges=src_single_edges,
         src_single_inv=src_single_inv,
+        tab_sel=tab_sel,
+        pseg_src_lo=pseg_src_lo,
+        src_tail_ptr2=src_tail_ptr2,
+        src_cut=src_cut,
+        src_s1=src_s1,
     )

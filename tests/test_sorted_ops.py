@@ -413,3 +413,186 @@ def test_src_rank_cap_singleton_split_matches(env):
             np.asarray(g1[0][k]), np.asarray(g0[0][k]),
             rtol=2e-3, atol=2e-4, err_msg=k,
         )
+
+
+def test_tab_compaction_matches(env):
+    """tab_cap: remapping the RTE table space to per-block occupied-Δt
+    ranks (sampling/sorted_batch._compact_tab) is value/grad EXACT — it
+    is pure re-indexing; the compact gather's transpose scatter-adds the
+    table grads back to the full [B*L] space."""
+    layout, em, batch, _ = env
+    se0 = sort_batch(batch, layout, em)
+    se1 = sort_batch(batch, layout, em, tab_cap=128)
+    assert se1.tab_sel is not None, "compaction did not engage"
+    assert se1.tab_sel.shape[0] == len(layout.blocks) * 128
+    assert int(se1.tabidx.max()) < len(layout.blocks) * 128
+    T, C = layout.num_types, layout.node_cap
+    Din, Dout, H = 24, 128, 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(41)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, se):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=True, save_kv=True, **params,
+        )
+        return jnp.sum(out * tgt)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=1e-5, atol=1e-6
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+
+    # a cap below the occupancy falls back (no compaction, not an error)
+    se2 = sort_batch(batch, layout, em, tab_cap=8)
+    if se2.tab_sel is not None:  # only if blocks occupy <= 8 slots
+        assert se2.tab_sel.shape[0] == len(layout.blocks) * 8
+
+
+def _aligned_env():
+    """Layout whose meta capacities sum to a PK multiple, so the static
+    meta/self boundary in src order is tile-aligned and the two-region
+    src reduction can engage."""
+    schema = GraphSchema(
+        node_types=("paper", "author"),
+        metas=(
+            MetaRelation("paper", "author", "AP_write"),
+            MetaRelation("author", "paper", "rev_AP_write"),
+            MetaRelation("paper", "paper", "PP_cite"),
+        ),
+    )
+    layout = BatchLayout(
+        schema=schema, pad=PadSpec(node_cap=32, default_edge_cap=128)
+    )  # sum of meta caps = 384 = PK
+    em = EdgeStaticMeta.from_layout(layout)
+    batch = synth_batch(layout, np.random.default_rng(5), din=24,
+                        node_fill=0.9, edge_fill=0.8)
+    return layout, em, batch
+
+
+def test_src_split_two_region_matches():
+    """src_split_cap: region 1 (meta blocks) through the rank-capped
+    kernel + region 2 (self-block tail) through a plain cumsum-diff CSR
+    matches the single-call reduction, values AND grads."""
+    layout, em, batch = _aligned_env()
+    se0 = sort_batch(batch, layout, em)
+    se1 = sort_batch(batch, layout, em, src_split_cap=128)
+    assert se1.pseg_src_lo is not None, "src split did not engage"
+    assert se1.src_cut == 384
+    assert se1.src_s1 == 3 * 32
+    assert se1.src_tail_ptr2 is not None
+    T, C = layout.num_types, layout.node_cap
+    Din, Dout, H = 24, 128, 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(51)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, se):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=True, save_kv=True, **params,
+        )
+        return jnp.sum(out * tgt)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=2e-3, atol=2e-4
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=2e-3, atol=2e-4, err_msg=k,
+        )
+
+    # a violated rank cap disables the split (fallback, not an error)
+    se2 = sort_batch(batch, layout, em, src_split_cap=8)
+    if se2.pseg_src_lo is None:
+        assert se2.src_cut == 0
+
+
+def test_src_split_composes_with_tab_cap():
+    """Both round-4 encodings together stay exact end-to-end."""
+    layout, em, batch = _aligned_env()
+    se0 = sort_batch(batch, layout, em)
+    se1 = sort_batch(batch, layout, em, src_split_cap=128, tab_cap=128)
+    assert se1.pseg_src_lo is not None and se1.tab_sel is not None
+    T, C = layout.num_types, layout.node_cap
+    Din, Dout, H = 24, 128, 4
+    R = layout.schema.num_relations
+    rng = np.random.default_rng(61)
+    P = _params(rng, T, R, Din, Dout, H)
+    rte_vec = jnp.asarray(rte_sin_table(Din))
+    x = jnp.asarray(batch.node_feat)
+    tgt = jnp.asarray(rng.normal(size=(T, C, Dout)).astype(np.float32))
+
+    def loss(params, x, se):
+        out = hgt_conv_core_sorted(
+            x, se, em, n_heads=H, rte_vec=rte_vec,
+            seg_pallas=True, save_kv=True, softmax_tilemax="auto",
+            **params,
+        )
+        return jnp.sum(out * tgt)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(P, x, se1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=2e-3, atol=2e-4
+    )
+    for k in P:
+        np.testing.assert_allclose(
+            np.asarray(g1[0][k]), np.asarray(g0[0][k]),
+            rtol=2e-3, atol=2e-4, err_msg=k,
+        )
+
+
+def test_softmax_tilemax_auto_guard(env):
+    """softmax_tilemax='auto': within the spread bound the guarded path
+    equals tilemax; with a logit spread beyond the bound it falls back to
+    the exact shift-scan softmax (the unguarded tilemax would zero those
+    rows) — lax.cond picks per batch."""
+    from pyhgt_tpu.ops.sorted_hgt import (
+        _softmax_tiled,
+        _softmax_tilemax,
+        _softmax_tilemax_auto,
+    )
+
+    layout, em, batch, se = env
+    E = se.edge_tgt.shape[0]
+    H = 4
+    rng = np.random.default_rng(71)
+    mask = jnp.asarray(se.edge_mask)[:, None]
+
+    att = jnp.where(mask, jnp.asarray(
+        rng.normal(size=(E, H)).astype(np.float32) * 10), -1e30)
+    w_auto = np.asarray(_softmax_tilemax_auto(att, se))
+    np.testing.assert_allclose(
+        w_auto, np.asarray(_softmax_tilemax(att, se)), atol=1e-6)
+
+    # out-of-domain: one live edge 200 below its tile neighbours
+    base = rng.normal(size=(E, H)).astype(np.float32)
+    live = np.flatnonzero(np.asarray(se.edge_mask))
+    base[live[0]] = -200.0
+    att2 = jnp.where(mask, jnp.asarray(base), -1e30)
+    w2 = np.asarray(_softmax_tilemax_auto(att2, se))
+    np.testing.assert_allclose(
+        w2, np.asarray(_softmax_tiled(att2, se)), atol=1e-6)
+    # the unguarded path genuinely differs there (the row underflows)
+    w2_raw = np.asarray(_softmax_tilemax(att2, se))
+    assert np.abs(w2 - w2_raw).max() > 1e-8
