@@ -132,6 +132,70 @@ def main() -> int:
                              2),
         }
         print(json.dumps(row), flush=True)
+
+    # adaptive-vs-fixed coalescing window A/B (VERDICT r3 weak #5):
+    # drive the REAL _serve_coalesced transport with synthetic arrival
+    # traces and measure per-request latency arrival -> response.
+    import io
+    import threading
+
+    from pyhgt_tpu.experiments.serving import (
+        AdaptiveWait,
+        _answer_node_batch,
+        _serve_coalesced,
+    )
+
+    def run_trace(wait, trace):
+        """trace = [(sleep_before_s, n_requests_in_burst), ...]."""
+        r_fd, w_fd = os.pipe()
+        stdin = os.fdopen(r_fd, "r")
+        w = os.fdopen(w_fd, "w")
+        arrivals, responses = [], []
+
+        class Out(io.StringIO):
+            def write(self, s):
+                responses.append(time.perf_counter())
+                return len(s)
+
+            def flush(self):
+                pass
+
+        def writer():
+            for gap, burst in trace:
+                time.sleep(gap)
+                for _ in range(burst):
+                    arrivals.append(time.perf_counter())
+                    w.write(json.dumps(
+                        {"nodes": [int(req_rng.integers(0, n))],
+                         "vr_num": 1}) + "\n")
+                w.flush()
+            w.close()
+
+        t = threading.Thread(target=writer)
+        t.start()
+        _serve_coalesced(stdin, Out(), lambda s: None, wait,
+                         lambda reqs: _answer_node_batch(pred, reqs))
+        t.join()
+        lat = [(b - a) * 1e3 for a, b in zip(arrivals, responses)]
+        return (round(float(np.percentile(lat, 50)), 2),
+                round(float(np.percentile(lat, 95)), 2))
+
+    traces = {
+        # bursts of 8 arriving together, then idle — batching wins
+        "bursty": [(0.15, 8)] * 8,
+        # lone requests every 60 ms — any fixed wait is pure tax
+        "sparse": [(0.06, 1)] * 24,
+        # regime switch mid-stream — what the controller is for
+        "mixed": [(0.06, 1)] * 10 + [(0.15, 8)] * 5 + [(0.06, 1)] * 10,
+    }
+    for name, trace in traces.items():
+        for wait_name, wait in (("fixed_10ms", 0.010),
+                                ("adaptive", AdaptiveWait(max_wait=0.02))):
+            p50, p95 = run_trace(wait, trace)
+            print(json.dumps({
+                "metric": "serve_transport_ab", "trace": name,
+                "wait": wait_name, "p50_ms": p50, "p95_ms": p95,
+            }), flush=True)
     return 0
 
 

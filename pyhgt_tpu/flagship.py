@@ -113,6 +113,13 @@ PRESETS: Dict[str, FlagshipConfig] = {
         seg_rank_cap=64,  # round-3: tgt tiles carry <=50 live rows at
         # this scale, so the tgt kernels' one-hot narrows 768->128 wide
         # (135.8 -> 129.5 ms; falls back per batch if ever violated)
+        tab_cap=64,  # round-4: blocks occupy <=60 of 240 dt slots, so
+        # the tab-window kernels' one-hot narrows 480->128 wide
+        # (127.1 -> 123.2 ms; falls back per batch if ever violated)
+        softmax_tilemax="on",  # round-4: -2.4 ms. Unguarded: exact while
+        # per-tile logit spread < ~87 (bench logits are ~1e3x inside the
+        # bound); the always-exact "auto" guard measured +3 ms (lax.cond
+        # stops w fusing into consumers) — see PERF_NOTES round-4
     ),
 }
 

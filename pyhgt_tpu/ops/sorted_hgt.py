@@ -547,6 +547,13 @@ def _softmax_tilemax_auto(att, se, K=_TILE):
     ``lax.cond`` falls back to the shift-scan softmax on violation: both
     branches compile once, exactly one executes per step — the rank-cap
     fallback pattern applied at runtime instead of trace time.
+
+    Measured on chip (round-4): the guard costs ~+3 ms over unguarded
+    tilemax — the cond boundary stops XLA fusing ``w`` into its
+    consumers, which outweighs the −2.4 ms the tilemax math saves. So
+    ``"auto"`` is the *always-exact* option for arbitrary data, while
+    the bench preset ships ``"on"`` (its trained logits are orders of
+    magnitude inside the bound). See docs/PERF_NOTES.md round-4.
     """
     E, H = att.shape
     tiles = E // K

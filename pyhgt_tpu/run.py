@@ -51,10 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve mode: node = classification over sampled "
                         "subgraphs; link = two-tower matcher top-k "
                         "(offline author index + online paper queries)")
-    p.add_argument("--coalesce_wait", type=float, default=0.0,
+    p.add_argument("--coalesce_wait", default=0.0,
+                   type=lambda s: s if s == "auto" else float(s),
                    help="serve micro-batching (node and link): wait this "
                         "many seconds after the first pending request, then "
-                        "answer the burst with one coalesced model call")
+                        "answer the burst with one coalesced model call; "
+                        "'auto' (or a negative value = adaptive with that "
+                        "max window) adapts the window to the arrival "
+                        "process (serving.AdaptiveWait)")
     p.add_argument("--http", type=int, default=0, metavar="PORT",
                    help="serve over HTTP on this port instead of "
                         "JSON-lines stdio (POST / with the same request "

@@ -25,6 +25,20 @@ from tests.test_sorted_ops import _params
 
 @pytest.fixture(scope="module")
 def env():
+    """2-shard partition: every boundary-exchange path crosses shards
+    already at P=2, and the shard_map compile (the suite's old 13-min
+    pole) is ~3x cheaper than at P=4. A 4-shard point is kept in
+    test_partitioned_matches_single via ``env4``; P=8 rings are covered
+    raw in test_ring_allreduce_primitive."""
+    return _make_env(n_parts=2)
+
+
+@pytest.fixture(scope="module")
+def env4():
+    return _make_env(n_parts=4)
+
+
+def _make_env(n_parts: int):
     schema = GraphSchema(
         node_types=("paper", "author"),
         metas=(
@@ -41,7 +55,6 @@ def env():
     # kernels ~2x cheaper on this tiny layout — the parity semantics are
     # identical (tile size is swept separately in test_sorted_ops)
     se = sort_batch(batch, layout, em, pk=256)
-    n_parts = 4
     pe = partition_sorted(
         se, n_parts, num_blocks=len(layout.blocks),
         node_cap=layout.node_cap,
@@ -72,8 +85,10 @@ def _partitioned_fn(layout, em, mesh, use_rte, overlap=False):
 
 
 @pytest.mark.parametrize("use_rte", [True, False])
-def test_partitioned_matches_single(env, use_rte):
-    layout, em, batch, se, pe, P_, mesh = env
+def test_partitioned_matches_single(env, env4, use_rte):
+    # use_rte=True runs the 4-shard partition (the one multi-hop coverage
+    # point); the rest of the file runs at 2 shards (see env docstring)
+    layout, em, batch, se, pe, P_, mesh = env4 if use_rte else env
     x = jnp.asarray(batch.node_feat)
     rte_vec = jnp.asarray(rte_sin_table(24)) if use_rte else None
     ref = hgt_conv_core_sorted(x, se, em, n_heads=4, rte_vec=rte_vec, **P_)
@@ -195,9 +210,9 @@ def test_ring_allreduce_primitive():
     from jax import shard_map as _sm
     from pyhgt_tpu.parallel.edge_partition import _ring_allreduce
 
-    for Pn in (2, 8):
+    for Pn, rows in ((2, (7, 5)), (8, (25,))):
         mesh = Mesh(np.asarray(jax.devices()[:Pn]), ("graph",))
-        for n_rows in (Pn * 3 + 1, 5):
+        for n_rows in rows:
             x = np.random.default_rng(Pn * 100 + n_rows).normal(
                 size=(Pn, n_rows, 4)
             ).astype(np.float32)
