@@ -129,7 +129,7 @@ def main() -> int:
                                 params=params)
             if n == 1:
                 state = TrainState.create(params, tx)
-                step = make_train_step(fl.loss_fn_single())
+                step = make_train_step(fl.loss_fn_single(), tx)
                 bargs = tuple(jax.device_put(np.asarray(a))
                               for a in fl.batch_args(batches[0]))
                 se_d = jax.device_put(ses[0])

@@ -351,7 +351,12 @@ def _src_split_aux(key_src_sorted: np.ndarray, cut: int, s1: int,
         return None, None
     if key[cut - 1] >= s1 or key[cut] < s1:
         return None, None
-    aux_lo = pallas_seg_aux(key[:cut], s1, K, cap, v=cap)
+    # W = 2*cap halves the output-block count vs W = cap (the v1 choice,
+    # which measured +2.8 ms at bench scale): one-hot width 3*cap instead
+    # of 2*cap but ~half the grid's flush steps and retire copies. v2 is
+    # parity-tested but UNMEASURED on chip (the worker-state poisoning
+    # blocked the 26880-shape family, PERF_NOTES round-4).
+    aux_lo = pallas_seg_aux(key[:cut], s1, K, 2 * cap, v=cap)
     if aux_lo is None:
         return None, None
     tail_ptr2 = (np.asarray(seg_ptr_src[s1:], np.int64) - cut).astype(

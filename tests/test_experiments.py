@@ -721,3 +721,60 @@ def test_run_ogbn_dp_pp(toy_env, tmp_path):
     )
     assert np.isfinite(out["history"][-1]["loss"])
     assert 0.0 <= out["test"]["acc"] <= 1.0
+
+
+def test_adaptive_coalesce_wait_controller():
+    """AdaptiveWait (round-4): MIMD window — grows while bursts coalesce,
+    shrinks to ~min on lone arrivals; _norm_wait maps the API spellings."""
+    from pyhgt_tpu.experiments.serving import AdaptiveWait, _norm_wait
+
+    a = AdaptiveWait(max_wait=0.016)
+    w0 = a.next_wait()
+    assert w0 == 0.016 / 8
+    for _ in range(10):
+        a.observe(8)
+    assert a.next_wait() == 0.016          # saturates at max on bursts
+    for _ in range(20):
+        a.observe(1)
+    assert a.next_wait() == a.min_wait     # decays to the floor alone
+    a.observe(4)
+    assert a.next_wait() == 2 * a.min_wait
+
+    assert isinstance(_norm_wait("auto"), AdaptiveWait)
+    ad = _norm_wait(-0.01)
+    assert isinstance(ad, AdaptiveWait) and ad.max_wait == 0.01
+    assert _norm_wait(0.25) == 0.25
+    assert _norm_wait(0.0) == 0.0
+    assert _norm_wait(ad) is ad
+
+
+def test_serve_jsonl_adaptive_window(tmp_path):
+    """serve_jsonl(coalesce_wait='auto') drives the coalescing transport
+    with the adaptive controller end-to-end (burst answered in order)."""
+    import io
+    import json
+
+    from pyhgt_tpu.experiments.serving import serve_jsonl
+
+    class FakePred:
+        n_classes = 4
+
+        def predict_logprobs(self, nodes, vr_num=None, rng=None):
+            import numpy as np
+
+            logp = np.zeros((len(nodes), 4))
+            logp[:, 1] = 1.0
+            return logp
+
+    out = io.StringIO()
+    served = serve_jsonl(
+        FakePred(),
+        stdin=io.StringIO('{"nodes": [1]}\n{"nodes": [2, 3]}\n'),
+        stdout=out,
+        log=lambda s: None,
+        coalesce_wait="auto",
+    )
+    assert served == 2
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[0]["nodes"] == [1] and lines[1]["nodes"] == [2, 3]
+    assert lines[0]["pred"] == [1] and lines[1]["pred"] == [1, 1]
