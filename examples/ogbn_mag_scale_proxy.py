@@ -128,6 +128,12 @@ def main() -> int:
     ap.add_argument("--tgt_rank_cap", type=int, default=0,
                     help="Pallas tgt rank cap (round-3 kernel knob; "
                          "batches that violate it fall back per batch)")
+    ap.add_argument("--tab_cap", type=int, default=0,
+                    help="tab compaction cap (round-4 kernel knob; "
+                         "per-batch fallback when a block occupies more "
+                         "dt slots)")
+    ap.add_argument("--softmax_tilemax", default="",
+                    help="'' | on | auto (round-4; auto = runtime-guarded)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -166,6 +172,7 @@ def main() -> int:
         # production kernel config (bench-validated winners, PERF_NOTES r2)
         edge_bf16=True, seg_pallas=True,
         tgt_rank_cap=args.tgt_rank_cap,
+        tab_cap=args.tab_cap, softmax_tilemax=args.softmax_tilemax,
     )
     out = run_ogbn(cfg, graph, max_eval_nodes=args.max_eval_nodes)
     res = dict(
