@@ -187,13 +187,18 @@ class Flagship:
     def sort(self, batch: SubgraphBatch):
         from pyhgt_tpu.sampling.sorted_batch import sort_batch
 
+        # gp partitions the returned SortedEdges and rebuilds per-shard aux
+        # assuming the uncompacted B*L tab space and unsplit src space —
+        # the remap/split knobs only apply single-chip (engine does the
+        # same gating in _make_producer)
+        gp = bool(self.cfg.graph_axis)
         return sort_batch(batch, self.layout, self.em,
                           pk=self.cfg.seg_tile or None,
                           pw=self.cfg.seg_w or None,
                           tgt_rank_cap=self.cfg.seg_rank_cap,
-                          src_rank_cap=self.cfg.src_rank_cap,
-                          tab_cap=self.cfg.tab_cap,
-                          src_split_cap=self.cfg.src_split_cap)
+                          src_rank_cap=0 if gp else self.cfg.src_rank_cap,
+                          tab_cap=0 if gp else self.cfg.tab_cap,
+                          src_split_cap=0 if gp else self.cfg.src_split_cap)
 
     def batch_args(self, batch: SubgraphBatch):
         return (

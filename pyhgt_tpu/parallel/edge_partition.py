@@ -67,6 +67,14 @@ def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
 
     PKv = pk or _PK
     PWv = pw or (pk or _PW)
+    if getattr(se, "tab_sel", None) is not None or se.src_cut:
+        raise ValueError(
+            "partition_sorted needs an UNCOMPACTED SortedEdges: per-shard "
+            "aux is rebuilt from se.tabidx assuming the full B*L tab space "
+            "and unsplit src space — build the batch with tab_cap=0 / "
+            "src_split_cap=0 when gp > 1 (Flagship.sort and the engine "
+            "producer do this automatically)"
+        )
     E = se.edge_tgt.shape[0]
     if E % n_parts:
         raise ValueError(f"E={E} not divisible by n_parts={n_parts}")

@@ -284,3 +284,30 @@ def test_partitioned_production_knobs_match(env):
             np.asarray(g1[0][k]), np.asarray(g0[0][k]),
             rtol=2e-3, atol=2e-4, err_msg=k,
         )
+
+
+def test_partition_refuses_compacted_batch():
+    """gp shards rebuild aux from se.tabidx assuming the full B*L space;
+    a tab-compacted batch must be refused loudly (Flagship.sort and the
+    engine producer build uncompacted when gp > 1)."""
+    from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
+
+    fl = build_flagship("tiny", tab_cap=64)
+    batch, _ = synth_flagship_batch(fl, seed=0)
+    se = fl.sort(batch)
+    assert se.tab_sel is not None
+    with pytest.raises(ValueError, match="UNCOMPACTED"):
+        partition_sorted(
+            se, 2, num_blocks=len(fl.layout.blocks),
+            node_cap=fl.layout.node_cap,
+            num_nodes_flat=fl.layout.num_types * fl.layout.node_cap,
+        )
+    # the gp-aware sort builds uncompacted (partitionable) batches
+    fl_gp = build_flagship("tiny", tab_cap=64, graph_axis="graph")
+    se_gp = fl_gp.sort(batch)
+    assert se_gp.tab_sel is None and se_gp.src_cut == 0
+    partition_sorted(
+        se_gp, 2, num_blocks=len(fl_gp.layout.blocks),
+        node_cap=fl_gp.layout.node_cap,
+        num_nodes_flat=fl_gp.layout.num_types * fl_gp.layout.node_cap,
+    )
