@@ -730,10 +730,10 @@ def test_adaptive_coalesce_wait_controller():
 
     a = AdaptiveWait(max_wait=0.016)
     w0 = a.next_wait()
-    assert w0 == 0.016 / 8
+    assert w0 == 0.016 / 8                 # starts at the gap ceiling
     for _ in range(10):
         a.observe(8)
-    assert a.next_wait() == 0.016          # saturates at max on bursts
+    assert a.next_wait() == a.gap_cap      # saturates at gap_cap on bursts
     for _ in range(20):
         a.observe(1)
     assert a.next_wait() == a.min_wait     # decays to the floor alone
@@ -746,6 +746,23 @@ def test_adaptive_coalesce_wait_controller():
     assert _norm_wait(0.25) == 0.25
     assert _norm_wait(0.0) == 0.0
     assert _norm_wait(ad) is ad
+
+
+def test_adaptive_wait_backlog_jump():
+    """Burst-size-aware jump (round-4 follow-up): a cycle that BEGINS with
+    >= 2 queued requests means the previous gap split a burst — the gap
+    jumps straight to gap_cap instead of climbing from the floor (the
+    climb cost ~10 ms p50 on pure-bursty traces)."""
+    from pyhgt_tpu.experiments.serving import AdaptiveWait
+
+    a = AdaptiveWait(max_wait=0.016)
+    for _ in range(20):
+        a.observe(1)                      # sparse traffic: at the floor
+    assert a.next_wait() == a.min_wait
+    assert a.next_wait(backlog=1) == a.min_wait   # one queued: no jump
+    assert a.next_wait(backlog=2) == a.gap_cap    # split burst: jump
+    a.observe(1)                          # and MD still works after it
+    assert a.next_wait() == a.gap_cap / 2
 
 
 def test_serve_jsonl_adaptive_window(tmp_path):
