@@ -1,0 +1,105 @@
+"""Round-4 follow-up chip probes: shape-family map + 2x-batch pricing.
+
+Two questions left open at the 120.4 ms floor (TODO round-5 #2/#3):
+
+1. **Is the edge_cap 26880 backward crash an XLA:TPU bug or the degraded
+   worker state?** During round-4's measurements, after one initial
+   worker crash EVERY backward at the 26752/26880 family died — including
+   a control that had measured clean before the crash (worker-state
+   poisoning, docs/PERF_NOTES.md round-4). This re-runs the family from a
+   fresh session: control (production 26624) -> 26880 -> control again.
+   If 26880 passes now, the crash was the poisoned state; if it dies from
+   a clean start while both controls pass, it is a genuine backend bug at
+   that shape and the layout needs a guard.
+
+2. **What does 2x batch buy?** The step carries ~9 ms of batch-size-
+   independent cost (optimizer ~8 ms + dispatch; probe6). edge_cap 53248
+   (2x edges, same nodes) amortizes it: expected ~+4% edges/s if nothing
+   else degrades (the Pallas kernel FLOPs, gathers, and permutes all
+   scale linearly).
+
+Each config runs in-process sequentially; a crash kills the process, so
+results print progressively (JSON lines) and the harness wrapper records
+how far it got. Run: python experiments/bench_shapes_r4.py [edge_caps...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run_config(edge_cap: int, steps: int = 8, warmup: int = 2,
+               src_split_cap: int = 0) -> dict:
+    import jax
+
+    from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
+    from pyhgt_tpu.train.optim import cosine_schedule, make_optimizer
+    from pyhgt_tpu.train.step import TrainState, make_train_step
+
+    fl = build_flagship("bench", edge_cap=edge_cap,
+                        src_split_cap=src_split_cap)
+    batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
+    se = fl.sort(batch)
+    params = fl.init_params(jax.random.key(0), batch, se)
+    tx = make_optimizer(cosine_schedule(1e-3, 1000), weight_decay=0.01,
+                        clip_norm=0.25, params=params)
+    state = TrainState.create(params, tx)
+    step = make_train_step(fl.loss_fn_single(), tx)
+    bargs = tuple(jax.device_put(np.asarray(a)) for a in fl.batch_args(batch))
+    se_d = jax.device_put(se)
+    y = jax.device_put(np.asarray(labels))
+    rng = jax.random.key(1)
+    t0 = time.time()
+    for _ in range(warmup):
+        state, loss = step(state, rng, *bargs, se_d, y)
+    warm = float(loss)  # sync (block_until_ready unreliable on the tunnel)
+    t_compile = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, rng, *bargs, se_d, y)
+    lval = float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    n_edges = int(np.sum(np.asarray(batch.edge_mask)))
+    row = {
+        "edge_cap": edge_cap,
+        "src_split_cap": src_split_cap,
+        "src_split_active": getattr(se, "pseg_src_lo", None) is not None,
+        "n_edges": n_edges,
+        "step_ms": round(dt * 1e3, 1),
+        "edges_per_s": round(n_edges * fl.cfg.n_layers / dt, 1),
+        "loss_finite": bool(np.isfinite(lval)),
+        "compile_s": round(t_compile, 1),
+        "tab_compacted": getattr(se, "tab_sel", None) is not None,
+        "tgt_rank_capped": bool(getattr(se.pseg_tgt, "v", 0))
+        if se.pseg_tgt is not None else False,
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        for a in sys.argv[1:]:
+            cap, _, split = a.partition(":")
+            run_config(int(cap), src_split_cap=int(split or 0))
+        return 0
+    # default sequence — ordered so each answer stands even if a later
+    # config crashes the process
+    run_config(26624)            # production control (pre-crash sanity)
+    run_config(26880)            # the round-4 crash family, plain
+    run_config(26880, src_split_cap=64)  # two-region src v2 (W=2*cap),
+    # unmeasured in round 4 (worker poisoning blocked the shape family)
+    run_config(26624)            # control again
+    run_config(53248)            # 2x batch: fixed-cost amortization
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
