@@ -795,3 +795,32 @@ def test_serve_jsonl_adaptive_window(tmp_path):
     lines = [json.loads(l) for l in out.getvalue().splitlines()]
     assert lines[0]["nodes"] == [1] and lines[1]["nodes"] == [2, 3]
     assert lines[0]["pred"] == [1] and lines[1]["pred"] == [1, 1]
+
+
+def test_serve_coalesced_idle_gap_batches_prequeued_burst():
+    """The idle-gap collector folds a fully-pre-queued burst into FEW
+    answer_batch calls (the sleep-then-drain form always answered the
+    first request alone when the window started small): 8 requests on
+    stdin -> at most 2 batch calls, responses in order."""
+    import io
+    import json
+
+    from pyhgt_tpu.experiments.serving import AdaptiveWait, _serve_coalesced
+
+    calls = []
+
+    def answer_batch(reqs):
+        calls.append(len(reqs))
+        return [{"echo": r["i"]} for r in reqs]
+
+    stdin = io.StringIO("".join(json.dumps({"i": i}) + "\n"
+                                for i in range(8)))
+    out = io.StringIO()
+    n = _serve_coalesced(stdin, out, lambda s: None,
+                         AdaptiveWait(max_wait=0.02), answer_batch)
+    assert n == 8
+    echoed = [json.loads(l)["echo"] for l in out.getvalue().splitlines()]
+    assert echoed == list(range(8))          # request order preserved
+    # first cycle may race the reader thread and answer 1-2 alone; the
+    # backlog jump must fold everything else into one batch
+    assert len(calls) <= 3 and max(calls) >= 5
