@@ -288,9 +288,16 @@ def _seg_sum_weighted(wgt, val, H, dk, se, grouping: str, use_pallas: bool,
 
         live = live_partials_weighted(wgt, val, dk, paux)
         return seg_sum_csr(live, paux.ptr2)
-    msg = (_head_expand(wgt, H, dk) * val.astype(jnp.float32)).astype(
-        out_dtype
-    )
+    if out_dtype == jnp.bfloat16:
+        # bf16-native product: no f32 [E, D] intermediates (see
+        # _head_expand_like); val (v_e / k_e) is already bf16 here
+        msg = _head_expand_like(wgt, H, dk, out_dtype) * val.astype(
+            out_dtype
+        )
+    else:
+        msg = (
+            _head_expand(wgt, H, dk) * val.astype(jnp.float32)
+        ).astype(out_dtype)
     return _seg_sum_grouped(msg, se, grouping, use_pallas)
 
 
@@ -396,6 +403,24 @@ def _head_expand(w, H, dk):
         w, _head_mat(H, dk).T, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+def _head_expand_like(w, H, dk, dt):
+    """:func:`_head_expand` emitted directly in the edge dtype.
+
+    On the bf16 edge path the expand feeds a product that is cast to
+    bf16 anyway, so emitting bf16 from the matmul
+    (``preferred_element_type``) skips the f32 [E, D] intermediate and
+    its converts — the product-build fusions ran at ~300 GB/s with ~2x
+    their streaming traffic unaccounted (round-4b trace), consistent
+    with that intermediate spilling. Numerics: ``w`` rounds to bf16 once
+    (the 0/1 map is exact), the same class as the edge stage's per-tensor
+    bf16 rounding contract. The f32 path is unchanged-exact."""
+    if dt == jnp.bfloat16:
+        return jnp.matmul(
+            w, _head_mat(H, dk).T, preferred_element_type=jnp.bfloat16
+        )
+    return _head_expand(w, H, dk)
 
 
 def _head_mat2(H, dk):
@@ -786,9 +811,16 @@ def _edge_bwd(dims, res, g_aggr):
                 # permute strategy: one product per tensor, fused into the
                 # permute; the paired kernel shares the grid pass + one-hot
                 # per grouping
-                q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32)
-                g_k_e = (_head_expand(coef, H, dk) * q_e).astype(dt)
-                g_v_e = (_head_expand(w, H, dk) * g_msg_f).astype(dt)
+                if dt == jnp.bfloat16:
+                    # bf16-native products (no f32 [E, D] intermediates,
+                    # see _head_expand_like); q_e / g_msg are bf16 rows
+                    q_e = _rows(q_n, se.edge_tgt)
+                    g_k_e = _head_expand_like(coef, H, dk, dt) * q_e
+                    g_v_e = _head_expand_like(w, H, dk, dt) * g_msg
+                else:
+                    q_e = _rows(q_n, se.edge_tgt).astype(jnp.float32)
+                    g_k_e = (_head_expand(coef, H, dk) * q_e).astype(dt)
+                    g_v_e = (_head_expand(w, H, dk) * g_msg_f).astype(dt)
                 gk_src = _rows(g_k_e, se.perm_src)
                 gv_src = _rows(g_v_e, se.perm_src)
             g_k_rel, g_v_rel = _seg_sum_grouped_pair(
