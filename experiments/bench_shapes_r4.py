@@ -36,15 +36,17 @@ import numpy as np
 
 
 def run_config(edge_cap: int, steps: int = 8, warmup: int = 2,
-               src_split_cap: int = 0) -> dict:
+               src_split_cap: int = 0, tab_cap: int = -1) -> dict:
     import jax
 
     from pyhgt_tpu.flagship import build_flagship, synth_flagship_batch
     from pyhgt_tpu.train.optim import cosine_schedule, make_optimizer
     from pyhgt_tpu.train.step import TrainState, make_train_step
 
-    fl = build_flagship("bench", edge_cap=edge_cap,
-                        src_split_cap=src_split_cap)
+    overrides = dict(edge_cap=edge_cap, src_split_cap=src_split_cap)
+    if tab_cap >= 0:  # -1 = keep the bench preset's value (64)
+        overrides["tab_cap"] = tab_cap
+    fl = build_flagship("bench", **overrides)
     batch, labels = synth_flagship_batch(fl, seed=0, edge_fill=1.0)
     se = fl.sort(batch)
     params = fl.init_params(jax.random.key(0), batch, se)
@@ -86,9 +88,13 @@ def run_config(edge_cap: int, steps: int = 8, warmup: int = 2,
 
 def main() -> int:
     if len(sys.argv) > 1:
+        # each arg: edge_cap[:src_split_cap[:tab_cap]] (tab_cap -1 =
+        # keep the bench preset's 64; 0 = compaction off)
         for a in sys.argv[1:]:
-            cap, _, split = a.partition(":")
-            run_config(int(cap), src_split_cap=int(split or 0))
+            parts = a.split(":")
+            run_config(int(parts[0]),
+                       src_split_cap=int(parts[1]) if len(parts) > 1 else 0,
+                       tab_cap=int(parts[2]) if len(parts) > 2 else -1)
         return 0
     # default sequence — ordered so each answer stands even if a later
     # config crashes the process

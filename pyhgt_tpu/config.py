@@ -67,18 +67,15 @@ class ExperimentConfig:
                                        # occupied-Δt rank remap of the
                                        # RTE table space (multiple of 8;
                                        # falls back per batch if a block
-                                       # occupies more Δt slots).
-                                       # KNOWN LANDMINE: certain
-                                       # (shape family, cap) pairs hit an
-                                       # XLA:TPU backend kernel fault —
-                                       # host data validated, forward
-                                       # passes, pure-XLA variant also
-                                       # dies. If a cap faults at your
-                                       # shapes, change it (64 faults /
-                                       # 128 runs at the 74k-edge proxy
-                                       # family; both run at bench).
-                                       # See docs/runs/
-                                       # ogbn_mag_proxy_r4.json.
+                                       # occupies more Δt slots). A
+                                       # round-4 worker-kernel-fault
+                                       # landmine here was root-caused
+                                       # to the compact-table gather's
+                                       # duplicate-index scatter-add
+                                       # transpose and FIXED (one-hot
+                                       # matmul selection) — see
+                                       # docs/PERF_NOTES.md round-4b and
+                                       # docs/runs/ogbn_mag_proxy_r4.json.
     softmax_tilemax: str = ""          # "" | "on" | "auto": per-tile-max
                                        # online softmax; "auto" adds a
                                        # runtime spread guard + fallback

@@ -953,11 +953,31 @@ def hgt_conv_core_sorted(
             # tab compaction (round-4): keep only the per-block OCCUPIED
             # (block, Δt) table rows — se.tabidx and every tab aux are
             # already in the compact space (sampling/sorted_batch.
-            # _compact_tab). The gather's autodiff transpose is a tiny
-            # [B*cap -> B*L] scatter-add outside the custom VJP; the
-            # tab-window kernels' one-hot narrows from W+L to ~2*cap.
-            k_tab = k_tab[jnp.asarray(tab_sel)]
-            v_tab = v_tab[jnp.asarray(tab_sel)]
+            # _compact_tab). The selection is a one-hot matmul, NOT a
+            # row gather: the gather's autodiff transpose is a
+            # duplicate-index [B*cap -> B*L] scatter-add (dead compact
+            # slots repeat their block's last row), and that scatter sent
+            # XLA:TPU into pathological compiles — 412 s vs 46 s at bench
+            # shapes, and outright compile-wedge/worker-kernel-faults at
+            # the 26880 and 74k-proxy shape families (round-4b bisect,
+            # docs/runs/ogbn_mag_proxy_r4.json). The matmul's gradient is
+            # the transposed matmul (exact: one-hot at HIGHEST), the same
+            # trick as `pri_e` below; at [B*cap, B*L] size it is sub-ms.
+            sel = jnp.asarray(tab_sel)
+            sel_oh = (
+                sel[:, None]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (1, k_tab.shape[0]), 1
+                )
+            ).astype(k_tab.dtype)                      # [B*cap, B*L]
+            k_tab = jnp.matmul(
+                sel_oh, k_tab, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=k_tab.dtype,
+            )
+            v_tab = jnp.matmul(
+                sel_oh, v_tab, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=v_tab.dtype,
+            )
     else:
         k_tab = jnp.zeros((1, Dout), dtype=x.dtype)
         v_tab = jnp.zeros((1, Dout), dtype=x.dtype)
