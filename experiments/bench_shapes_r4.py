@@ -1,26 +1,24 @@
 """Round-4 follow-up chip probes: shape-family map + 2x-batch pricing.
 
-Two questions left open at the 120.4 ms floor (TODO round-5 #2/#3):
+ANSWERED (2026-08-20, docs/PERF_NOTES.md round-4b): the 26880 "crash
+family" was neither an opaque backend bug nor worker poisoning — the
+probe's tab-off cell (26880 clean in 46.5 s vs a 28-min compile wedge +
+worker kernel fault with tab compaction) localized it to the
+compact-table selection gather, whose autodiff transpose was a
+duplicate-index scatter-add (the one scatter left in the edge stage).
+Fixed with a one-hot matmul; every config below now runs:
 
-1. **Is the edge_cap 26880 backward crash an XLA:TPU bug or the degraded
-   worker state?** During round-4's measurements, after one initial
-   worker crash EVERY backward at the 26752/26880 family died — including
-   a control that had measured clean before the crash (worker-state
-   poisoning, docs/PERF_NOTES.md round-4). This re-runs the family from a
-   fresh session: control (production 26624) -> 26880 -> control again.
-   If 26880 passes now, the crash was the poisoned state; if it dies from
-   a clean start while both controls pass, it is a genuine backend bug at
-   that shape and the layout needs a guard.
-
-2. **What does 2x batch buy?** The step carries ~9 ms of batch-size-
-   independent cost (optimizer ~8 ms + dispatch; probe6). edge_cap 53248
-   (2x edges, same nodes) amortizes it: expected ~+4% edges/s if nothing
-   else degrades (the Pallas kernel FLOPs, gathers, and permutes all
-   scale linearly).
+- 26624 control: 121.0 -> 119.8 ms (compile 412 -> ~100-150 s)
+- 26880 (+tab): was fault -> 121.6 ms, compile 66 s
+- 26880:64 (two-region src v2, W=2*cap): 124.2 ms — LOSES +2.6 ms,
+  matching v1's +2.8; all three singleton attacks are dead
+- 53248 (2x batch): 225.3 ms = 7.80M edges/s (+3.1% — the optimizer/
+  dispatch amortization; a training-semantics knob, not a bench change)
 
 Each config runs in-process sequentially; a crash kills the process, so
-results print progressively (JSON lines) and the harness wrapper records
-how far it got. Run: python experiments/bench_shapes_r4.py [edge_caps...]
+results print progressively (JSON lines). Run:
+  python experiments/bench_shapes_r4.py [edge_cap[:src_split[:tab_cap]]...]
+(tab_cap -1 = bench preset's 64, 0 = compaction off)
 """
 
 from __future__ import annotations
