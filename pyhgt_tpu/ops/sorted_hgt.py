@@ -877,6 +877,59 @@ def _edge_bwd(dims, res, g_aggr):
 hgt_edge_stage.defvjp(_edge_fwd, _edge_bwd)
 
 
+def _tab_select(k_tab, v_tab, tab_sel, B, L, Dout):
+    """Compact-table row selection as a one-hot matmul (scatter-free).
+
+    ``k_tab[tab_sel]`` would be a plain gather, but its autodiff
+    transpose is a duplicate-index [B*cap -> B*L] scatter-add (dead
+    compact slots repeat their block's last row) — the ONE scatter that
+    had survived in the edge stage, and XLA:TPU compiled it
+    pathologically: 412 s vs 46 s compiles at bench shapes, and
+    compile-wedge + worker kernel faults at the 26880 / 74k-proxy shape
+    families (round-4b bisect, docs/runs/ogbn_mag_proxy_r4.json). The
+    one-hot matmul's gradient is the transposed matmul — the ``pri_e``
+    trick — and is exact (0/1 map at HIGHEST precision).
+
+    Two algebraically identical forms: the dense [B*cap, B*L] map (the
+    chip-validated form at bench scale: 119.8 ms, compiles ~4x faster
+    than the gather) and, above ``_TAB_SELECT_DENSE_MAX`` table rows, a
+    per-block batched [B, cap, L] one-hot — ``tab_sel`` only selects
+    within its own block, so the block-diagonal form is linear in B
+    where the dense map grows quadratically (55+ MB constant for a
+    ~30-block OAG-like schema)."""
+    sel = jnp.asarray(tab_sel)
+    if B * L <= _TAB_SELECT_DENSE_MAX:
+        sel_oh = (
+            sel[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, B * L), 1)
+        ).astype(k_tab.dtype)                          # [B*cap, B*L]
+        mm = lambda t: jnp.matmul(
+            sel_oh, t, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=t.dtype,
+        )
+        return mm(k_tab), mm(v_tab)
+    cap = sel.shape[0] // B
+    sel_loc = (
+        sel.reshape(B, cap) - (jnp.arange(B, dtype=sel.dtype) * L)[:, None]
+    )                                                  # [B, cap] in [0, L)
+    sel_oh = (
+        sel_loc[:, :, None]
+        == jax.lax.broadcasted_iota(sel_loc.dtype, (1, 1, L), 2)
+    ).astype(k_tab.dtype)                              # [B, cap, L]
+    bmm = lambda t: jax.lax.dot_general(
+        sel_oh, t.reshape(B, L, Dout),
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=t.dtype,
+    ).reshape(B * cap, Dout)
+    return bmm(k_tab), bmm(v_tab)
+
+
+# dense one-hot selection up to this many table rows (bench: B*L = 2880);
+# beyond it the block-diagonal batched form avoids the quadratic constant
+_TAB_SELECT_DENSE_MAX = 4096
+
+
 # ------------------------------------------------------------- full conv core
 def hgt_conv_core_sorted(
     x,                 # [T, C, Din]
@@ -963,21 +1016,7 @@ def hgt_conv_core_sorted(
             # docs/runs/ogbn_mag_proxy_r4.json). The matmul's gradient is
             # the transposed matmul (exact: one-hot at HIGHEST), the same
             # trick as `pri_e` below; at [B*cap, B*L] size it is sub-ms.
-            sel = jnp.asarray(tab_sel)
-            sel_oh = (
-                sel[:, None]
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (1, k_tab.shape[0]), 1
-                )
-            ).astype(k_tab.dtype)                      # [B*cap, B*L]
-            k_tab = jnp.matmul(
-                sel_oh, k_tab, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=k_tab.dtype,
-            )
-            v_tab = jnp.matmul(
-                sel_oh, v_tab, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=v_tab.dtype,
-            )
+            k_tab, v_tab = _tab_select(k_tab, v_tab, tab_sel, B, L, Dout)
     else:
         k_tab = jnp.zeros((1, Dout), dtype=x.dtype)
         v_tab = jnp.zeros((1, Dout), dtype=x.dtype)

@@ -596,3 +596,51 @@ def test_softmax_tilemax_auto_guard(env):
     # the unguarded path genuinely differs there (the row underflows)
     w2_raw = np.asarray(_softmax_tilemax(att2, se))
     assert np.abs(w2 - w2_raw).max() > 1e-8
+
+
+def test_tab_select_forms_match_gather():
+    """_tab_select (the scatter-free compact-table selection) matches the
+    plain row gather in BOTH forms — dense [B*cap, B*L] one-hot and the
+    block-diagonal batched form used above _TAB_SELECT_DENSE_MAX — for
+    values AND gradients (the gather's transpose is the duplicate-index
+    scatter-add that wedged XLA:TPU; see docs/PERF_NOTES.md round-4b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyhgt_tpu.ops import sorted_hgt as sh
+
+    rng = np.random.default_rng(5)
+    B, L, D, cap = 3, 16, 8, 4
+    k_tab = jnp.asarray(rng.normal(size=(B * L, D)).astype(np.float32))
+    v_tab = jnp.asarray(rng.normal(size=(B * L, D)).astype(np.float32))
+    # per-block occupied rows, dead slots repeating the block's last row
+    sel = np.empty(B * cap, np.int32)
+    for b in range(B):
+        rows = np.sort(rng.choice(L, size=b + 2, replace=False))[:cap]
+        sel[b * cap: b * cap + len(rows)] = b * L + rows
+        sel[b * cap + len(rows): (b + 1) * cap] = b * L + (L - 1)
+
+    def loss(form_max, kt, vt):
+        old = sh._TAB_SELECT_DENSE_MAX
+        sh._TAB_SELECT_DENSE_MAX = form_max
+        try:
+            ks, vs = sh._tab_select(kt, vt, jnp.asarray(sel), B, L, D)
+        finally:
+            sh._TAB_SELECT_DENSE_MAX = old
+        return jnp.sum(ks * 2.0 + vs * 3.0), (ks, vs)
+
+    ref_k, ref_v = np.asarray(k_tab)[sel], np.asarray(v_tab)[sel]
+    for form_max in (10**9, 0):          # dense / block-diagonal
+        (val, (ks, vs)), grads = jax.value_and_grad(
+            lambda kt, vt: loss(form_max, kt, vt), argnums=(0, 1),
+            has_aux=True,
+        )(k_tab, v_tab)
+        np.testing.assert_allclose(np.asarray(ks), ref_k, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vs), ref_v, atol=1e-6)
+        # gradient ground truth: scatter-add of the upstream cotangent
+        gk = np.zeros((B * L, D), np.float32)
+        np.add.at(gk, sel, 2.0 * np.ones((B * cap, D), np.float32))
+        gv = np.zeros((B * L, D), np.float32)
+        np.add.at(gv, sel, 3.0 * np.ones((B * cap, D), np.float32))
+        np.testing.assert_allclose(np.asarray(grads[0]), gk, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grads[1]), gv, atol=1e-5)
