@@ -65,12 +65,14 @@ def main() -> int:
     ap.add_argument("--no-probe", dest="probe", action="store_false",
                     default=True,
                     help="skip the bounded device-reachability probe")
-    ap.add_argument("--probe_timeout", type=int, default=300)
-    ap.add_argument("--probe_retries", type=int, default=4,
+    ap.add_argument("--probe_timeout", type=int, default=420)
+    ap.add_argument("--probe_retries", type=int, default=8,
                     help="extra probe attempts (sleep between them) before "
-                         "giving up — the tunnel flaps; the driver runs "
-                         "bench ONCE per round, so ride out short outages")
-    ap.add_argument("--probe_retry_sleep", type=int, default=150)
+                         "giving up — the tunnel flaps (a 2h+ hard outage "
+                         "observed 2026-08-20); the driver runs bench ONCE "
+                         "per round, so ride out long outages (~1h45 "
+                         "worst-case at these defaults)")
+    ap.add_argument("--probe_retry_sleep", type=int, default=300)
     args = ap.parse_args()
 
     if args.probe:
