@@ -843,7 +843,8 @@ def run_ogbn(
     metrics.log("test", mode=eval_mode, **{k: v for k, v in vr.items()})
     metrics.close()
     log(f"test acc ({eval_mode}): {vr['acc']:.4f} "
-        f"(single-sample {vr['single_sample_acc']:.4f}, n={vr['n_eval']})")
+        f"(sequential {vr['seq_acc']:.4f}, per-occurrence "
+        f"{vr['single_sample_acc']:.4f}, n={vr['n_eval']})")
     return dict(history=history, test=vr, best_valid=ckpt.best, state=state)
 
 
@@ -1015,5 +1016,6 @@ def evaluate_ogbn(
         max_nodes=max_eval_nodes,
     )
     log(f"test acc ({eval_mode}): {out['acc']:.4f} "
-        f"(single-sample {out['single_sample_acc']:.4f}, n={out['n_eval']})")
+        f"(sequential {out['seq_acc']:.4f}, per-occurrence "
+        f"{out['single_sample_acc']:.4f}, n={out['n_eval']})")
     return out

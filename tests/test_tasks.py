@@ -192,6 +192,95 @@ def test_multi_sample_eval(task_env):
     )
     assert 0.0 <= out["acc"] <= 1.0
     assert out["n_eval"] > 0
+    assert 0.0 <= out["seq_acc"] <= 1.0
+    assert len(out["vr_curve"]) == 2 and out["vr_curve"][-1] == out["acc"]
+    # layout contract: seed rows carry the requested papers verbatim
+    assert out["seed_id_match_frac"] == 1.0
+
+
+def test_multi_sample_eval_accounting():
+    """Pin the evaluator's exact accounting with a crafted task.
+
+    Protocol parity targets (``eval_ogbn_mag.py``): ``acc`` = per-node
+    argmax of vr_num accumulated log-prob rows (``:149-150,182-191``);
+    ``seq_acc`` = the same with resample 0 only (``:163-179``); the
+    occurrence metrics split seed vs periphery rows.
+    """
+    from pyhgt_tpu.tasks import multi_sample_eval
+
+    C, n_classes = 4, 3
+    n_nodes = 6
+
+    class FakeBatch:
+        def __init__(self, ids, labels, live, logp):
+            self.target_ids = np.asarray(ids, np.int64)
+            self.labels = np.asarray(labels, np.int32)
+            self.label_mask = np.asarray(live, bool)
+            self._logp = np.asarray(logp, np.float64)
+
+        @property
+        def batch_args(self):
+            return (self._logp,)
+
+    class FakeTask:
+        n_classes = 3
+        y = np.array([0, 1, 2, 0, 1, 2])
+        masks = {"test": np.array([True, True, False, False, False, True])}
+
+        def __init__(self):
+            self.calls = 0
+            # two resamples of the single batch seeded at nodes [0, 1]:
+            #   k=0: seeds 0,1 live; periphery node 5 live with a WRONG,
+            #        very confident row.
+            #   k=1: seeds only; node 0's row flips to confidently wrong,
+            #        strongly enough to beat k=0's correct row.
+            self.batches = [
+                FakeBatch(
+                    ids=[0, 1, 5, -1],
+                    labels=[0, 1, 2, 0],
+                    live=[True, True, True, False],
+                    logp=[[-0.1, -3, -3], [-3, -0.1, -3],
+                          [-9, -0.1, -9], [0, 0, 0]],
+                ),
+                FakeBatch(
+                    ids=[0, 1, -1, -1],
+                    labels=[0, 1, 0, 0],
+                    live=[True, True, False, False],
+                    logp=[[-9, -0.05, -9], [-3, -0.1, -3],
+                          [0, 0, 0], [0, 0, 0]],
+                ),
+            ]
+
+        def sample(self, papers, rng, split="test"):
+            b = self.batches[self.calls]
+            self.calls += 1
+            return b
+
+    task = FakeTask()
+    out = multi_sample_eval(
+        lambda p, logp: logp, None, task, split="test",
+        batch_size=2, vr_num=2, shuffle=False, max_nodes=2,
+    )
+    # VR accumulation: node0 = k0 + k1 rows → argmax 1 (wrong);
+    # node1 correct both; node5 wrong (periphery only) → acc = 1/3
+    assert out["acc"] == pytest.approx(1 / 3)
+    assert out["n_eval"] == 3
+    # sequential = resample 0 only: node0 ✓, node1 ✓, node5 ✗ → 2/3
+    assert out["seq_acc"] == pytest.approx(2 / 3)
+    assert out["n_eval_seq"] == 3
+    assert out["vr_curve"] == pytest.approx([2 / 3, 1 / 3])
+    # occurrences: 4 seed rows (3 hits: n0k0, n1k0, n1k1), 1 periphery miss
+    assert out["seed_occ_acc"] == pytest.approx(3 / 4)
+    assert out["peri_occ_acc"] == 0.0
+    assert out["seed_occ_total"] == 4 and out["peri_occ_total"] == 1
+    # seed-only protocols exclude node5: VR = node0 ✗ node1 ✓ = 1/2;
+    # seq = both ✓
+    assert out["seed_vr_acc"] == pytest.approx(1 / 2)
+    assert out["seed_seq_acc"] == pytest.approx(1.0)
+    # node0's two predictions disagree (0 then 1), node1 agrees
+    assert out["seed_agreement"] == pytest.approx((1 / 2 + 1) / 2)
+    # live-id sets differ between resamples → no dup
+    assert out["resample_dup_frac"] == 0.0
 
 
 def test_link_prediction_task(task_env):
