@@ -562,6 +562,7 @@ def _serve_coalesced(stdin, stdout, log, coalesce_wait, answer_batch) -> int:
             # whole window (see AdaptiveWait)
             gap = coalesce_wait.next_wait(backlog=q.qsize())
             deadline = time.monotonic() + coalesce_wait.max_wait
+            idle_exit = False
             while True:
                 rem = deadline - time.monotonic()
                 if rem <= 0:
@@ -569,12 +570,18 @@ def _serve_coalesced(stdin, stdout, log, coalesce_wait, answer_batch) -> int:
                 try:
                     item = q.get(timeout=min(gap, rem))
                 except queue.Empty:
+                    idle_exit = True
                     break
                 if item is _EOF:
                     done = True
                     break
                 burst.append(item)
-            coalesce_wait.observe(len(burst))
+            if idle_exit:
+                # only idle-gap-terminated bursts adapt the window: a
+                # deadline- or EOF-truncated burst under-represents the
+                # arrival rate and would multiplicatively grow the gap at
+                # saturation (ADVICE r4)
+                coalesce_wait.observe(len(burst))
         else:
             time.sleep(coalesce_wait)  # let the burst accumulate
             while True:

@@ -877,7 +877,7 @@ def _edge_bwd(dims, res, g_aggr):
 hgt_edge_stage.defvjp(_edge_fwd, _edge_bwd)
 
 
-def _tab_select(k_tab, v_tab, tab_sel, B, L, Dout):
+def _tab_select(k_tab, v_tab, tab_sel, B, L, Dout, dense_max=None):
     """Compact-table row selection as a one-hot matmul (scatter-free).
 
     ``k_tab[tab_sel]`` would be a plain gather, but its autodiff
@@ -898,7 +898,9 @@ def _tab_select(k_tab, v_tab, tab_sel, B, L, Dout):
     where the dense map grows quadratically (55+ MB constant for a
     ~30-block OAG-like schema)."""
     sel = jnp.asarray(tab_sel)
-    if B * L <= _TAB_SELECT_DENSE_MAX:
+    if dense_max is None:
+        dense_max = _TAB_SELECT_DENSE_MAX
+    if B * L <= dense_max:
         sel_oh = (
             sel[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, B * L), 1)

@@ -816,8 +816,11 @@ def test_serve_coalesced_idle_gap_batches_prequeued_burst():
     stdin = io.StringIO("".join(json.dumps({"i": i}) + "\n"
                                 for i in range(8)))
     out = io.StringIO()
+    # max_wait=0.2 -> idle-gap cap 25 ms: a reader-thread scheduling
+    # stall under parallel CI load (xdist -n auto) would need to exceed
+    # 25 ms to split the burst (ADVICE r4: 2.5 ms was wall-clock-fragile)
     n = _serve_coalesced(stdin, out, lambda s: None,
-                         AdaptiveWait(max_wait=0.02), answer_batch)
+                         AdaptiveWait(max_wait=0.2), answer_batch)
     assert n == 8
     echoed = [json.loads(l)["echo"] for l in out.getvalue().splitlines()]
     assert echoed == list(range(8))          # request order preserved

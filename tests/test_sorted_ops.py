@@ -621,12 +621,11 @@ def test_tab_select_forms_match_gather():
         sel[b * cap + len(rows): (b + 1) * cap] = b * L + (L - 1)
 
     def loss(form_max, kt, vt):
-        old = sh._TAB_SELECT_DENSE_MAX
-        sh._TAB_SELECT_DENSE_MAX = form_max
-        try:
-            ks, vs = sh._tab_select(kt, vt, jnp.asarray(sel), B, L, D)
-        finally:
-            sh._TAB_SELECT_DENSE_MAX = old
+        # dense_max threaded as a parameter (no module-global patching —
+        # xdist workers share the module; ADVICE r4)
+        ks, vs = sh._tab_select(
+            kt, vt, jnp.asarray(sel), B, L, D, dense_max=form_max
+        )
         return jnp.sum(ks * 2.0 + vs * 3.0), (ks, vs)
 
     ref_k, ref_v = np.asarray(k_tab)[sel], np.asarray(v_tab)[sel]
