@@ -189,6 +189,10 @@ def main() -> int:
             se, args.gp, num_blocks=len(fl.layout.blocks),
             node_cap=fl.layout.node_cap,
             num_nodes_flat=fl.layout.num_types * fl.layout.node_cap,
+            pk=fl.cfg.seg_tile or None, pw=fl.cfg.seg_w or None,
+            # per-shard production preset (round-5): compaction + rank
+            # cap now apply under gp, so gp measures the real program
+            tgt_rank_cap=fl.cfg.seg_rank_cap, tab_cap=fl.cfg.tab_cap,
         )
         from jax.sharding import NamedSharding, PartitionSpec as P
 

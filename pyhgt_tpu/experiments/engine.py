@@ -220,11 +220,16 @@ def _make_producer(sample_fn, layout, em, gp: int = 1,
     threads) instead of SortedEdges."""
     from pyhgt_tpu.sampling.sorted_batch import sort_batch as _sb
 
+    gp_tab_cap = gp_rank_cap = 0
     if gp > 1:
         from pyhgt_tpu.parallel.edge_partition import partition_sorted
-        # per-shard aux is rebuilt from se.tabidx inside partition_sorted,
-        # which assumes the uncompacted B*L tab space — keep it that way
-        tab_cap = src_split_cap = 0
+        # partition_sorted slices the raw arrays and rebuilds per-shard
+        # aux from se.tabidx, which must be the uncompacted B*L space —
+        # the caps apply PER SHARD inside the partitioner (round-5), so
+        # the full-batch sort skips them and gp runs the full preset
+        gp_tab_cap, tab_cap = tab_cap, 0
+        gp_rank_cap, tgt_rank_cap = tgt_rank_cap, 0
+        src_split_cap = 0
 
     def fn(rng):
         tb = sample_fn(rng)
@@ -236,6 +241,7 @@ def _make_producer(sample_fn, layout, em, gp: int = 1,
                 se, gp, num_blocks=len(layout.blocks),
                 node_cap=layout.node_cap,
                 num_nodes_flat=layout.num_types * layout.node_cap,
+                tgt_rank_cap=gp_rank_cap, tab_cap=gp_tab_cap,
             )
         return _Item(
             tb, se,

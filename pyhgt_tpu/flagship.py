@@ -187,15 +187,17 @@ class Flagship:
     def sort(self, batch: SubgraphBatch):
         from pyhgt_tpu.sampling.sorted_batch import sort_batch
 
-        # gp partitions the returned SortedEdges and rebuilds per-shard aux
-        # assuming the uncompacted B*L tab space and unsplit src space —
-        # the remap/split knobs only apply single-chip (engine does the
-        # same gating in _make_producer)
+        # gp partitions the returned SortedEdges and rebuilds per-shard
+        # aux from the raw arrays, which must stay in the uncompacted
+        # B*L tab space / unsplit src space — tab_cap and tgt_rank_cap
+        # apply PER SHARD inside partition_sorted (round-5; pass
+        # cfg.tab_cap / cfg.seg_rank_cap there), so gp runs the full
+        # production preset. src knobs remain single-chip-only.
         gp = bool(self.cfg.graph_axis)
         return sort_batch(batch, self.layout, self.em,
                           pk=self.cfg.seg_tile or None,
                           pw=self.cfg.seg_w or None,
-                          tgt_rank_cap=self.cfg.seg_rank_cap,
+                          tgt_rank_cap=0 if gp else self.cfg.seg_rank_cap,
                           src_rank_cap=0 if gp else self.cfg.src_rank_cap,
                           tab_cap=0 if gp else self.cfg.tab_cap,
                           src_split_cap=0 if gp else self.cfg.src_split_cap)

@@ -192,6 +192,11 @@ class HGTConv(nn.Module):
                 bwd_src_direct=self.edge_bwd == "src_direct",
                 bwd_slab=self.edge_bwd == "slab",
                 seg_pallas=self.seg_pallas,
+                softmax_pallas=self.softmax_pallas,
+                softmax_tilemax=(
+                    "auto" if self.softmax_tilemax == "auto"
+                    else bool(self.softmax_tilemax)
+                ),
                 axis_name=self.graph_axis,
             )
         elif self.edge_impl == "sorted":

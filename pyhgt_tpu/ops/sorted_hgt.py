@@ -486,12 +486,18 @@ def _softmax_tiled(att, se, xr=None):
     return ex / den_e
 
 
-def _softmax_tilemax(att, se, K=_TILE):
+def _softmax_tilemax(att, se, K=_TILE, xr=None):
     """Segment softmax stabilized by the per-128-tile max instead of the
     per-segment running max — kills the 7-step shift scan
     (:func:`seg_max_tiled`), the narrow chain's largest component
     (probe9: the [E, 8] ops are 16x lane-padded, so every extra pass
     costs wide-pass money).
+
+    ``xr``: on edge-partitioned runs the per-segment stabilizer crosses
+    shards BEFORE the denominator forms (global max, then each shard's
+    denominator against the global stabilizer, then sum) — exactly the
+    flash-attention cross-device combine, same two [S, H] collectives
+    as :func:`_softmax_tiled`.
 
     Math (exact online-softmax algebra): with ``m_t`` the max of tile t,
     ``den_seg = Σ_t exp(m_t - m_seg) · Σ_{e ∈ t ∩ seg} exp(att_e - m_t)``
@@ -540,10 +546,13 @@ def _softmax_tilemax(att, se, K=_TILE):
         NEG,
     )
     m_n = seg_max_csr(lse_live, se.live_key_tgt, se.seg_ptr2_tgt)  # [S, H]
+    m_n = _xreduce(m_n, xr, "max")   # cross-shard stabilizer (gp)
     S = m_n.shape[0]
     key_safe = jnp.minimum(se.live_key_tgt, S - 1)
+    # against the GLOBAL stabilizer lse - m_n can be > 0 only through
+    # shard-local float round-off; the min keeps scales <= 1 either way
     scale = jnp.exp(jnp.minimum(lse_live - m_n[key_safe], 0.0))
-    den_n = seg_sum_csr(scale, se.seg_ptr2_tgt)
+    den_n = _xreduce(seg_sum_csr(scale, se.seg_ptr2_tgt), xr, "sum")
     # pathology guard: if EVERY slice of a segment underflowed against
     # its tile max (logit spread > ~87 within a tile — beyond trained
     # scales), m_n is NEG and the combine knows nothing about the
@@ -563,7 +572,7 @@ def _softmax_tilemax(att, se, K=_TILE):
 TILEMAX_SPREAD = 80.0
 
 
-def _softmax_tilemax_auto(att, se, K=_TILE):
+def _softmax_tilemax_auto(att, se, K=_TILE, xr=None):
     """Runtime-guarded :func:`_softmax_tilemax` (VERDICT r3 #4).
 
     The tilemax softmax is exact whenever every live logit sits within
@@ -586,10 +595,13 @@ def _softmax_tilemax_auto(att, se, K=_TILE):
     m_tile = jnp.max(a3, axis=1, keepdims=True)           # [tiles, 1, H]
     live = se.edge_mask.reshape(tiles, K)[:, :, None]
     bad = jnp.any(((m_tile - a3) > TILEMAX_SPREAD) & live)
+    if xr is not None:
+        # every shard must take the SAME branch (both have collectives)
+        bad = _xreduce(bad.reshape(1).astype(jnp.float32), xr, "max")[0] > 0
     return jax.lax.cond(
         bad,
-        lambda a: _softmax_tiled(a, se),
-        lambda a: _softmax_tilemax(a, se, K),
+        lambda a: _softmax_tiled(a, se, xr),
+        lambda a: _softmax_tilemax(a, se, K, xr),
         att,
     )
 
@@ -640,12 +652,13 @@ def _edge_fwd_impl(q_n, k_rel, v_rel, k_tab, v_tab, pri_e, dims, se):
         # retire logic assumes the legacy V = K width, not a rank cap
     ):
         w = _softmax_pallas(att, se)                         # [E, H] f32
-    elif xr is None and softmax_tilemax:
+    elif softmax_tilemax:
         # dims[9]: 0 off | 1 unguarded tilemax | 2 runtime-guarded auto
+        # (xr-aware: the stabilizer/denominator cross graph shards)
         if softmax_tilemax == 2:
-            w = _softmax_tilemax_auto(att, se)               # [E, H] f32
+            w = _softmax_tilemax_auto(att, se, xr=xr)        # [E, H] f32
         else:
-            w = _softmax_tilemax(att, se)                    # [E, H] f32
+            w = _softmax_tilemax(att, se, xr=xr)             # [E, H] f32
     else:
         w = _softmax_tiled(att, se, xr)                      # [E, H] f32
     # per-edge messages formed in VMEM on the Pallas path (never hit HBM);

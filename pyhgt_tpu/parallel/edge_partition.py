@@ -57,11 +57,26 @@ class PartitionedEdges:
 def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
                      node_cap: int, num_nodes_flat: int,
                      pk: Optional[int] = None,
-                     pw: Optional[int] = None) -> PartitionedEdges:
+                     pw: Optional[int] = None,
+                     tgt_rank_cap: int = 0,
+                     tab_cap: int = 0) -> PartitionedEdges:
     """Split a target-sorted edge view into ``n_parts`` contiguous slices,
     each packed with the FULL production aux (host-side, numpy/C++ —
     slices of a sorted array are sorted, so every per-shard builder is
-    the single-chip one)."""
+    the single-chip one).
+
+    ``tab_cap`` / ``tgt_rank_cap`` apply PER SHARD (round-5): each slice
+    re-compacts its own occupied-(block, Δt) table space and builds its
+    own rank-capped tgt aux inside :func:`_pack_sorted` — the same code
+    path as the single-chip batch, so the multi-chip program runs the
+    full production preset (the conv core's one-hot ``_tab_select`` then
+    selects against each shard's own ``tab_sel``, inside shard_map). A
+    shard's slice occupies a subset of the full batch's Δt slots, so a
+    cap the single-chip batch satisfies is almost always satisfiable
+    per shard; if ANY shard violates a cap the whole batch falls back
+    for that cap (all-or-none — shards must stack homogeneously and run
+    one program).
+    """
     from pyhgt_tpu.ops.pallas_seg import PK as _PK, PW as _PW
     from pyhgt_tpu.sampling.sorted_batch import _native_batch
 
@@ -72,8 +87,8 @@ def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
             "partition_sorted needs an UNCOMPACTED SortedEdges: per-shard "
             "aux is rebuilt from se.tabidx assuming the full B*L tab space "
             "and unsplit src space — build the batch with tab_cap=0 / "
-            "src_split_cap=0 when gp > 1 (Flagship.sort and the engine "
-            "producer do this automatically)"
+            "src_split_cap=0 when gp > 1 and pass tab_cap here instead "
+            "(Flagship.sort and the engine producer do this automatically)"
         )
     E = se.edge_tgt.shape[0]
     if E % n_parts:
@@ -88,8 +103,8 @@ def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
     nb = _native_batch()
 
     sl = lambda a, p: np.asarray(a[p * Ep:(p + 1) * Ep])
-    shards = []
-    for p in range(n_parts):
+
+    def pack(p, tab_cap_, rank_cap_):
         src = sl(se.edge_src, p)
         tgt = sl(se.edge_tgt, p)
         dt = sl(se.edge_dt, p)
@@ -112,15 +127,56 @@ def partition_sorted(se: SortedEdges, n_parts: int, num_blocks: int,
             onehot = np.concatenate(
                 [onehot, np.zeros((padn, R), onehot.dtype)])
             key = np.concatenate([key, np.full(padn, N, key.dtype)])
-        shards.append(_pack_sorted(
+        return _pack_sorted(
             src.astype(np.int32), tgt.astype(np.int32),
             dt.astype(np.int32), mask, key,
             gidx.astype(np.int32), tabidx.astype(np.int32),
             np.ascontiguousarray(onehot, np.float32),
             N=N, B=B, C=C, L=L, nb=nb, pk=PKv, pw=PWv,
-        ))
+            tgt_rank_cap=rank_cap_, tab_cap=tab_cap_,
+        )
+
     import jax
 
+    def consistent(shards):
+        """Homogeneous pytrees (a per-shard cap fallback changes the tree
+        structure or an aux leaf's width) — required to stack and run one
+        program across the mesh."""
+        t0 = jax.tree.structure(shards[0])
+        if any(jax.tree.structure(s) != t0 for s in shards[1:]):
+            return False
+        shp0 = [np.shape(leaf) for leaf in jax.tree.leaves(shards[0])]
+        return all(
+            [np.shape(leaf) for leaf in jax.tree.leaves(s)] == shp0
+            for s in shards[1:]
+        )
+
+    # all-or-none cap fallback ladder, mirroring the single-chip
+    # per-batch fallbacks (tab first: it is the cheaper rebuild)
+    attempts = [(tab_cap, tgt_rank_cap)]
+    if tab_cap:
+        attempts.append((0, tgt_rank_cap))
+    if tgt_rank_cap:
+        attempts.append((tab_cap, 0))
+    if tab_cap and tgt_rank_cap:
+        attempts.append((0, 0))
+    shards = None
+    for tab_c, rank_c in attempts:
+        cand = [pack(p, tab_c, rank_c) for p in range(n_parts)]
+        if tab_c and not all(
+            getattr(s, "tab_sel", None) is not None for s in cand
+        ):
+            # a shard fell back to the uncompacted table space — a
+            # partially-compacted stack cannot run one program
+            continue
+        if consistent(cand):
+            shards = cand
+            break
+    if shards is None:  # pragma: no cover - every-ladder-rung fallback
+        raise ValueError(
+            "partition_sorted: no homogeneous per-shard aux even with "
+            "caps disabled — shard aux shapes diverge"
+        )
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *shards)
     return PartitionedEdges(se=stacked)
 
@@ -143,6 +199,8 @@ def hgt_conv_core_partitioned(
     bwd_src_direct: bool = False,
     bwd_slab: bool = False,
     seg_pallas: bool = False,
+    softmax_pallas: bool = False,
+    softmax_tilemax=False,
 ):
     """Edge-partitioned HGT attention — the PRODUCTION sorted core run on
     this shard's SortedEdges with cross-shard boundary exchanges
@@ -167,5 +225,6 @@ def hgt_conv_core_partitioned(
         save_kv=save_kv, edge_dtype=edge_dtype,
         bwd_recompute=bwd_recompute, bwd_src_direct=bwd_src_direct,
         bwd_slab=bwd_slab, seg_pallas=seg_pallas,
+        softmax_pallas=softmax_pallas, softmax_tilemax=softmax_tilemax,
         axis_name=axis_name, gp_overlap=overlap,
     )
