@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'auto' (or a negative value = adaptive with that "
                         "max window) adapts the window to the arrival "
                         "process (serving.AdaptiveWait)")
+    p.add_argument("--deadline_ms", type=float, default=None,
+                   help="serve (adaptive coalescing): arrival-anchored "
+                        "p95 queueing cap — the burst is answered once "
+                        "its oldest request has waited this long, "
+                        "however deep the backlog")
     p.add_argument("--http", type=int, default=0, metavar="PORT",
                    help="serve over HTTP on this port instead of "
                         "JSON-lines stdio (POST / with the same request "
@@ -246,7 +251,8 @@ def main(argv=None) -> int:
                            log=err).serve_forever()
             else:
                 serve_link_jsonl(lp, log=err,
-                                 coalesce_wait=args.coalesce_wait)
+                                 coalesce_wait=args.coalesce_wait,
+                                 deadline_ms=args.deadline_ms)
         else:
             from pyhgt_tpu.experiments.serving import node_answer, serve_http
 
@@ -256,7 +262,8 @@ def main(argv=None) -> int:
                            log=err).serve_forever()
             else:
                 serve_jsonl(pred, log=err,
-                            coalesce_wait=args.coalesce_wait)
+                            coalesce_wait=args.coalesce_wait,
+                            deadline_ms=args.deadline_ms)
     if args.plot and out and out.get("history"):
         import os
 

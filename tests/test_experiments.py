@@ -827,3 +827,49 @@ def test_serve_coalesced_idle_gap_batches_prequeued_burst():
     # first cycle may race the reader thread and answer 1-2 alone; the
     # backlog jump must fold everything else into one batch
     assert len(calls) <= 3 and max(calls) >= 5
+
+def test_serve_deadline_caps_oldest_request_wait():
+    """--deadline_ms (round-5): with the arrival-anchored deadline set,
+    a trickling stream whose idle gaps never trip the collector still
+    answers its oldest request within ~deadline — the burst closes at
+    first_arrival + deadline instead of waiting max_wait from dequeue."""
+    import io
+    import json
+    import time
+
+    from pyhgt_tpu.experiments.serving import AdaptiveWait, _serve_coalesced
+
+    class Trickle:
+        """Line iterator that keeps lines flowing every 5 ms — faster
+        than the (huge) idle gap, so only the deadline can close bursts."""
+
+        def __init__(self, n):
+            self.n = n
+
+        def __iter__(self):
+            for i in range(self.n):
+                time.sleep(0.005)
+                yield json.dumps({"i": i}) + "\n"
+
+    answered_at = []
+    t_start = time.monotonic()
+
+    def answer_batch(reqs):
+        answered_at.append((time.monotonic() - t_start, len(reqs)))
+        return [{"echo": r["i"]} for r in reqs]
+
+    out = io.StringIO()
+    # gap = max_wait/8 = 125 ms >> 5 ms arrival spacing: without the
+    # deadline every line would coalesce into ONE burst closed only by
+    # EOF; deadline=60 ms forces multiple bursts, each oldest request
+    # answered within ~deadline (+ scheduling slack)
+    wait = AdaptiveWait(max_wait=1.0, deadline=0.06)
+    n = _serve_coalesced(Trickle(40), out, lambda s: None, wait,
+                         answer_batch)
+    assert n == 40
+    echoed = [json.loads(l)["echo"] for l in out.getvalue().splitlines()]
+    assert echoed == list(range(40))
+    assert len(answered_at) >= 2          # the deadline split the stream
+    # every burst spans <= deadline + generous CI slack of arrivals
+    for _, size in answered_at:
+        assert size <= 0.06 / 0.005 + 8
