@@ -62,7 +62,7 @@ def main() -> int:
     expand = np.repeat(np.eye(H, dtype=np.float32), dk, axis=1)  # [H, D]
     rng = np.random.default_rng(0)
     perm_rand = jnp.asarray(rng.permutation(E).astype(np.int32))
-    win = 4096
+    win = 1024 if E % 4096 else 4096     # bench E=226,304 = 221*1024
     pl_loc = np.arange(E).reshape(-1, win)
     for row in pl_loc:
         rng.shuffle(row)

@@ -459,3 +459,59 @@ def test_link_model_with_matcher_index(task_env):
     vals, ids = idx.score(q_emb, top_k=3)
     assert np.asarray(vals).shape == (8, 3)
     assert np.asarray(ids).max() < authors.shape[0]
+
+
+def test_vr_gains_on_seed_paired_protocol():
+    """Regression pin for the round-5 VR root-cause
+    (docs/runs/vr_inversion_memo.md): on the SEED-PAIRED protocol — the
+    one the reference's published +0.67 VR uplift uses
+    (eval_ogbn_mag.py:128-191) — accumulating vr_num independent noisy
+    predictions per node must beat the single-resample baseline. Models
+    the resample process directly: each resample's forward emits
+    log-probs for the true class corrupted by iid noise strong enough
+    for ~30% single-shot errors; averaging 8 must recover most of them.
+    """
+    from pyhgt_tpu.tasks import multi_sample_eval
+
+    n_nodes, C = 512, 5
+    master = np.random.default_rng(123)
+    y = master.integers(0, C, size=n_nodes)
+
+    class NoisyBatch:
+        def __init__(self, ids, labels, logp):
+            self.target_ids = ids
+            self.labels = labels
+            self.label_mask = np.ones(len(ids), bool)
+            self._logp = logp
+
+        @property
+        def batch_args(self):
+            return (self._logp,)
+
+    class NoisyTask:
+        n_classes = C
+
+        def __init__(self):
+            self.y = y
+            self.masks = {"test": np.ones(n_nodes, bool)}
+            self.noise_rng = np.random.default_rng(7)
+
+        def sample(self, papers, rng, split="test"):
+            logp = np.full((len(papers), C), -3.0)
+            logp[np.arange(len(papers)), y[papers]] = -0.5
+            logp += self.noise_rng.normal(0, 1.6, size=logp.shape)
+            return NoisyBatch(papers, y[papers].astype(np.int32), logp)
+
+    out = multi_sample_eval(
+        lambda p, logp: logp, None, NoisyTask(), split="test",
+        batch_size=128, vr_num=8, rng=np.random.default_rng(0),
+        shuffle=False,
+    )
+    # single-shot lands mid-pack; 8-sample accumulation must clearly win
+    assert 0.5 < out["seed_seq_acc"] < 0.95
+    assert out["seed_vr_acc"] > out["seed_seq_acc"] + 0.03
+    # no periphery in this model, so the unrestricted pair agrees
+    assert out["acc"] > out["seq_acc"] + 0.03
+    assert out["acc"] == out["seed_vr_acc"]
+    # and the curve is (noisily) improving, not degrading
+    assert out["vr_curve"][-1] > out["vr_curve"][0]
