@@ -77,6 +77,9 @@ def main() -> int:
             se_g, 1, num_blocks=len(fl_g.layout.blocks),
             node_cap=fl_g.layout.node_cap,
             num_nodes_flat=fl_g.layout.num_types * fl_g.layout.node_cap,
+            pk=fl_g.cfg.seg_tile or None, pw=fl_g.cfg.seg_w or None,
+            # round-5: the FULL production preset applies per shard
+            tgt_rank_cap=fl_g.cfg.seg_rank_cap, tab_cap=fl_g.cfg.tab_cap,
         )
         mesh = make_mesh(n_data=1, n_model=1, n_graph=1,
                          devices=jax.devices()[:1])

@@ -68,6 +68,8 @@ def main() -> int:
         rng.shuffle(row)
     perm_local = jnp.asarray(pl_loc.reshape(-1).astype(np.int32))
 
+    w_full = jax.random.normal(jax.random.key(2), (E, D), jnp.bfloat16)
+
     def product_xla(v_, w_):
         we = jax.lax.dot_general(
             w_, jnp.asarray(expand), (((1,), (0,)), ((), ())),
@@ -115,6 +117,11 @@ def main() -> int:
                         E * D * 2 * 2 + E * H * 4),
         "product_pallas": (lambda acc, w_: product_pallas(acc, w_),
                            E * D * 2 * 2 + E * H * 4),
+        # attribution control: pure elementwise mul with a pre-expanded
+        # [E, D] weight (no head-expand dot) — isolates whether the
+        # expand matmul or the mul stream sets the product ceiling
+        "product_mul": (lambda acc, w_: acc * w_full,
+                        3 * E * D * 2),
         "gather_rand": (lambda acc, w_: acc[perm_rand],
                         2 * E * D * 2 + E * 4),
         "gather_local": (lambda acc, w_: acc[perm_local],
