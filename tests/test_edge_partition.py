@@ -382,3 +382,34 @@ def test_partition_cap_fallback_is_all_or_none(env):
     assert getattr(pe.se.pseg_tgt, "v", 0) == 0  # legacy width everywhere
     # tab compaction is independent of the rank-cap fallback
     assert pe.se.tab_sel is not None
+
+
+def test_partitioned_tilemax_auto_matches_single(env):
+    """The runtime-guarded 'auto' tilemax under gp: the spread check is
+    globally agreed (xreduce-or) so every shard takes the same lax.cond
+    branch, and both branches' collectives match the scan softmax."""
+    layout, em, batch, se, _pe, P_, mesh = env
+    pe = partition_sorted(
+        se, 2, num_blocks=len(layout.blocks),
+        node_cap=layout.node_cap,
+        num_nodes_flat=layout.num_types * layout.node_cap,
+        pk=256,
+    )
+    x = jnp.asarray(batch.node_feat)
+    rte_vec = jnp.asarray(rte_sin_table(24))
+    ref = hgt_conv_core_sorted(x, se, em, n_heads=4, rte_vec=rte_vec, **P_)
+
+    def inner(x_, pe_local, params):
+        pe1 = jax.tree.map(lambda a: a[0], pe_local)
+        return hgt_conv_core_partitioned(
+            x_, pe1, em, n_heads=4, rte_vec=rte_vec, axis_name="graph",
+            softmax_tilemax="auto", **params
+        )
+
+    f = shard_map(
+        inner, mesh=mesh, in_specs=(P(), P("graph"), P()), out_specs=P(),
+        check_vma=False,
+    )
+    out = f(x, pe, P_)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
