@@ -259,9 +259,32 @@ def train_torch(graph, cfg, seed, log=print, init="reference",
             strict=False,
         )
     steps = cfg.n_batch * cfg.repeat
-    opt = torch.optim.AdamW(model.parameters(), weight_decay=cfg.weight_decay)
+    # the reference recipe EXACTLY (train_ogbn_mag.py:119-129): no-decay
+    # parameter groups for biases/norms, AdamW eps=1e-6, OneCycleLR
+    # pct_start=0.05 linear final_div_factor=10. (Round-5 fix: this arm
+    # previously used torch OneCycleLR DEFAULTS — pct_start 0.3, cosine,
+    # final_div 1e4 — a different, on-some-tasks-better trainer than the
+    # reference's; the schedule A/B lives in hard_task_schedule_ab.json.)
+    # mirrors our optim.NO_DECAY_KEYS (biases incl. the stacked bq/bk/
+    # bv/ba tensors, norm params, skip gates, priors); the reference's
+    # own list is ['bias','LayerNorm.*'] (train_ogbn_mag.py:118) — the
+    # skip/rel_pri exclusion is this repo's documented deviation, applied
+    # to both arms so the comparison isolates the framework
+    no_decay = ["bias", "bq", "bk", "bv", "ba", "norm", "skip", "rel_pri",
+                "rte_b"]
+    grouped = [
+        {"params": [p for n_, p in model.named_parameters()
+                    if not any(d in n_.lower() for d in no_decay)],
+         "weight_decay": cfg.weight_decay},
+        {"params": [p for n_, p in model.named_parameters()
+                    if any(d in n_.lower() for d in no_decay)],
+         "weight_decay": 0.0},
+    ]
+    opt = torch.optim.AdamW(grouped, eps=1e-6)
     sched = torch.optim.lr_scheduler.OneCycleLR(
-        opt, max_lr=cfg.max_lr, total_steps=cfg.n_epoch * steps + 1
+        opt, pct_start=0.05, anneal_strategy="linear",
+        final_div_factor=10, max_lr=cfg.max_lr,
+        total_steps=cfg.n_epoch * steps + 1,
     )
     rng = np.random.default_rng(seed)
     train_nodes = np.where(task.masks["train"])[0]

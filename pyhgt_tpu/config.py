@@ -97,6 +97,13 @@ class ExperimentConfig:
     # documented deviation) | cosine_torch (exact torch oscillation +
     # train_step=1500 mid-cycle start) | onecycle (ogbn :128)
     max_lr: float = 1e-3               # onecycle peak 5e-4 on ogbn (:128)
+    onecycle_pct_start: float = 0.05   # warmup fraction (reference :128;
+    # torch's own default is 0.3 — measurably better on some tasks,
+    # docs/runs/hard_task_schedule_ab.json)
+    onecycle_anneal: str = "linear"    # linear (reference) | cos (torch
+    # default shape)
+    onecycle_final_div: float = 10.0   # final_div_factor (reference :128;
+    # torch default 1e4)
     n_epoch: int = 200                 # --n_epoch (:23-24)
     clip: float = 0.25                 # --clip (:61-62; ogbn uses 1.0 :57)
     weight_decay: float = 0.01

@@ -165,6 +165,9 @@ def make_tx(cfg: ExperimentConfig, params, steps_per_epoch: int):
         sched = onecycle_schedule(
             max_lr=cfg.max_lr,
             total_steps=max(cfg.n_epoch * steps_per_epoch, 1) + 1,
+            pct_start=cfg.onecycle_pct_start,
+            final_div_factor=cfg.onecycle_final_div,
+            anneal=cfg.onecycle_anneal,
         )
     elif cfg.scheduler == "cosine_torch":
         # exact reference OAG dynamics: oscillating cos, train_step=1500

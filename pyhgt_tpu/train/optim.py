@@ -82,6 +82,7 @@ def onecycle_schedule(
     pct_start: float = 0.05,
     div_factor: float = 25.0,
     final_div_factor: float = 10.0,
+    anneal: str = "linear",
 ):
     """torch OneCycleLR(anneal_strategy='linear', three_phase=False)
     semantics, matching the reference's exact knobs
@@ -107,10 +108,16 @@ def onecycle_schedule(
     init = max_lr / div_factor
     final = init / final_div_factor
 
+    def interp(start, end, pct):
+        if anneal == "cos":
+            # torch anneal_strategy='cos': half-cosine per phase
+            return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+        return start + (end - start) * pct
+
     def schedule(step):
         s = jnp.asarray(step, jnp.float32)
-        lr_up = init + (max_lr - init) * jnp.clip(s / up, 0.0, 1.0)
-        lr_down = max_lr + (final - max_lr) * jnp.clip((s - up) / down, 0.0, 1.0)
+        lr_up = interp(init, max_lr, jnp.clip(s / up, 0.0, 1.0))
+        lr_down = interp(max_lr, final, jnp.clip((s - up) / down, 0.0, 1.0))
         return jnp.where(s <= up, lr_up, lr_down)
 
     return schedule

@@ -92,6 +92,24 @@ def test_onecycle_matches_torch():
     ours = np.asarray(jax.vmap(s)(np.arange(total)))
     np.testing.assert_allclose(ours, np.array(torch_lrs), rtol=5e-5)
 
+    # cos anneal shape (torch's own default strategy; cfg.onecycle_anneal)
+    opt2 = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    ref2 = torch.optim.lr_scheduler.OneCycleLR(
+        opt2, pct_start=0.3, anneal_strategy="cos",
+        final_div_factor=1e4, max_lr=5e-4, total_steps=total,
+    )
+    torch_lrs2 = []
+    for _ in range(total):
+        torch_lrs2.append(opt2.param_groups[0]["lr"])
+        opt2.step()
+        ref2.step()
+    s2 = onecycle_schedule(max_lr=5e-4, total_steps=total, pct_start=0.3,
+                           final_div_factor=1e4, anneal="cos")
+    ours2 = np.asarray(jax.vmap(s2)(np.arange(total)))
+    # atol covers f32 cos round-off at the ~2e-9-scale tail (final_div 1e4)
+    np.testing.assert_allclose(ours2, np.array(torch_lrs2), rtol=5e-5,
+                               atol=1e-9)
+
 
 # -------------------------------------------------------------------- loader
 def test_cosine_torch_matches_torch_closed_form():
