@@ -16,22 +16,60 @@ that one op cost:
 This script isolates the pattern: the same gather -> per-edge expand ->
 reduce chain, grad wrt the table, gather-transpose vs one-hot-matmul
 backward, compile time measured for each at several shape families.
-Run on the real chip (no flag) or --cpu. Prints one JSON line per
-(family, variant).
+Each (family, variant) runs in its OWN SUBPROCESS under a hard timeout
+— a wedged native compile cannot be interrupted from Python (signals
+only deliver between bytecodes), so the parent kills and records it.
+Run on the real chip (no flag) or --cpu. Prints one JSON line per case.
 
-Caveat recorded with the numbers: in round-4 the blow-up scaled with the
-surrounding program (the full step's fusion context); if this minimal
-chain compiles cleanly everywhere, that localizes the bug to
-scatter-in-big-fusion-context rather than scatter-alone — still the
-right test bed for the tests/test_scatter_free.py bound.
+Round-5 measurement on the chip: the minimal chain REPRODUCES the
+pathology standalone — the gather variant's backend compile ran >11 min
+without returning at the bench family while the one-hot variant
+compiles in seconds (see docs/runs/scatter_repro_r5.json for the final
+numbers) — so the bug does not need the full step's fusion context.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def run_case(rows, sel_n, d, E, variant, cpu):
+    import jax
+    import jax.numpy as jnp
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(0)
+    # duplicate-heavy selection, like _compact_tab's dead-slot repeats
+    sel = np.sort(rng.integers(0, rows, size=sel_n)).astype(np.int32)
+    oh = np.zeros((sel_n, rows), np.float32)
+    oh[np.arange(sel_n), sel] = 1.0
+    eidx = rng.integers(0, sel_n, size=E).astype(np.int32)
+
+    def loss(tab, x):
+        t = jnp.asarray(oh) @ tab if variant == "onehot" else tab[sel]
+        e = t[eidx]                      # [E, D] per-edge expand
+        return jnp.sum(e * x)
+
+    tab = jnp.asarray(rng.normal(size=(rows, d)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(E, d)), jnp.float32)
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    t0 = time.time()
+    c = g.lower(tab, x).compile()
+    dt = time.time() - t0
+    t1 = time.time()
+    out = c(tab, x)
+    val = float(jnp.sum(out[0]))         # sync through a fetch
+    print(json.dumps(dict(
+        edges=E, variant=variant, compile_s=round(dt, 2),
+        first_run_s=round(time.time() - t1, 3), ok=True,
+        checksum=round(val, 3),
+    )), flush=True)
 
 
 def main() -> int:
@@ -42,51 +80,47 @@ def main() -> int:
     ap.add_argument("--d", type=int, default=512)
     ap.add_argument("--edges", type=int, nargs="*",
                     default=[26624, 26880, 53248])
+    ap.add_argument("--case_timeout", type=int, default=900)
+    ap.add_argument("--case", nargs=2, metavar=("E", "VARIANT"),
+                    help="internal: run one case in-process")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
+    if args.case:
+        run_case(args.rows, args.sel, args.d, int(args.case[0]),
+                 args.case[1], args.cpu)
+        return 0
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    rng = np.random.default_rng(0)
-    # duplicate-heavy selection, like _compact_tab's dead-slot repeats
-    sel = np.sort(rng.integers(0, args.rows, size=args.sel)).astype(np.int32)
-    oh = np.zeros((args.sel, args.rows), np.float32)
-    oh[np.arange(args.sel), sel] = 1.0
-
-    def make_loss(E, variant):
-        eidx = rng.integers(0, args.sel, size=E).astype(np.int32)
-
-        def loss(tab, x):
-            t = jnp.asarray(oh) @ tab if variant == "onehot" else tab[sel]
-            e = t[eidx]                      # [E, D] per-edge expand
-            return jnp.sum(e * x)
-
-        return loss
-
-    tab = jnp.asarray(rng.normal(size=(args.rows, args.d)), jnp.float32)
     for E in args.edges:
-        x = jnp.asarray(rng.normal(size=(E, args.d)), jnp.float32)
         for variant in ("gather", "onehot"):
-            g = jax.jit(jax.grad(make_loss(E, variant), argnums=(0, 1)))
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--rows", str(args.rows), "--sel", str(args.sel),
+                   "--d", str(args.d), "--case", str(E), variant]
+            if args.cpu:
+                cmd.append("--cpu")
             t0 = time.time()
             try:
-                c = g.lower(tab, x).compile()
-                dt = time.time() - t0
-                t1 = time.time()
-                out = c(tab, x)
-                val = float(jnp.sum(out[0]))  # sync through a fetch
-                run = time.time() - t1
-                rec = dict(edges=E, variant=variant, compile_s=round(dt, 2),
-                           first_run_s=round(run, 3), ok=True,
-                           checksum=round(val, 3))
-            except Exception as exc:  # noqa: BLE001 - record the fault
-                rec = dict(edges=E, variant=variant,
-                           compile_s=round(time.time() - t0, 2), ok=False,
-                           error=f"{type(exc).__name__}: {exc}"[:200])
-            print(json.dumps(rec), flush=True)
+                r = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=args.case_timeout,
+                )
+                line = next((ln for ln in r.stdout.splitlines()
+                             if ln.startswith("{")), None)
+                if line:
+                    print(line, flush=True)
+                else:
+                    print(json.dumps(dict(
+                        edges=E, variant=variant, ok=False,
+                        wall_s=round(time.time() - t0, 1),
+                        error=(r.stderr.strip().splitlines() or ["?"])[-1][:200],
+                    )), flush=True)
+            except subprocess.TimeoutExpired:
+                print(json.dumps(dict(
+                    edges=E, variant=variant, ok=False,
+                    wall_s=round(time.time() - t0, 1),
+                    error=f"compile wedge: killed after {args.case_timeout}s "
+                          "(the round-4 pathology — the one-hot variant "
+                          "compiles in seconds)",
+                )), flush=True)
     return 0
 
 
