@@ -52,7 +52,14 @@ def run_case(rows, sel_n, d, E, variant, cpu):
     eidx = rng.integers(0, sel_n, size=E).astype(np.int32)
 
     def loss(tab, x):
-        t = jnp.asarray(oh) @ tab if variant == "onehot" else tab[sel]
+        if variant == "onehot":
+            # HIGHEST precision = exact 0/1 selection, as the production
+            # _tab_select does (default TPU precision lowers f32 matmuls
+            # to bf16 passes and drifts the checksum vs the gather)
+            t = jnp.matmul(jnp.asarray(oh), tab,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            t = tab[sel]
         e = t[eidx]                      # [E, D] per-edge expand
         return jnp.sum(e * x)
 
