@@ -187,10 +187,22 @@ def main() -> int:
         "sparse": [(0.06, 1)] * 24,
         # regime switch mid-stream — what the controller is for
         "mixed": [(0.06, 1)] * 10 + [(0.15, 8)] * 5 + [(0.06, 1)] * 10,
+        # sustained trickle faster than the idle gap — only the
+        # arrival-anchored deadline bounds the oldest-waiter tail here
+        "trickle": [(0.004, 1)] * 60,
     }
     for name, trace in traces.items():
-        for wait_name, wait in (("fixed_10ms", 0.010),
-                                ("adaptive", AdaptiveWait(max_wait=0.02))):
+        for wait_name, wait in (
+            ("fixed_10ms", 0.010),
+            ("adaptive", AdaptiveWait(max_wait=0.02)),
+            # wide window (gap cap 12.5 ms > trickle spacing): without a
+            # deadline the drain absorbs the whole trickle for up to
+            # max_wait; the arrival-anchored cap bounds the oldest
+            # waiter at ~30 ms regardless
+            ("adaptive_wide100", AdaptiveWait(max_wait=0.1)),
+            ("adaptive_wide100_deadline30", AdaptiveWait(max_wait=0.1,
+                                                         deadline=0.03)),
+        ):
             p50, p95 = run_trace(wait, trace)
             print(json.dumps({
                 "metric": "serve_transport_ab", "trace": name,

@@ -873,3 +873,39 @@ def test_serve_deadline_caps_oldest_request_wait():
     # every burst spans <= deadline + generous CI slack of arrivals
     for _, size in answered_at:
         assert size <= 0.06 / 0.005 + 8
+
+def test_serve_deadline_saturation_still_batches():
+    """Regression (round-5, measured on chip): when service falls behind
+    a sustained trickle, the arrival-anchored deadline is already past
+    at dequeue — the collector must then fold everything ALREADY queued
+    into the burst (zero added wait) instead of answering singletons,
+    which collapsed throughput exactly at saturation (trickle p95 went
+    2246 ms on chip before the drain fix)."""
+    import io
+    import json
+    import time
+
+    from pyhgt_tpu.experiments.serving import AdaptiveWait, _serve_coalesced
+
+    class Trickle:
+        def __iter__(self):
+            for i in range(40):
+                time.sleep(0.002)
+                yield json.dumps({"i": i}) + "\n"
+
+    calls = []
+
+    def slow_answer(reqs):
+        calls.append(len(reqs))
+        time.sleep(0.03)           # service slower than arrivals
+        return [{"echo": r["i"]} for r in reqs]
+
+    out = io.StringIO()
+    wait = AdaptiveWait(max_wait=0.2, deadline=0.01)
+    n = _serve_coalesced(Trickle(), out, lambda s: None, wait, slow_answer)
+    assert n == 40
+    echoed = [json.loads(l)["echo"] for l in out.getvalue().splitlines()]
+    assert echoed == list(range(40))
+    # backlog must fold: far fewer calls than requests, with real batches
+    assert len(calls) <= 20
+    assert max(calls) >= 5
