@@ -476,7 +476,7 @@ def test_bench_contract_tiny(monkeypatch, capsys):
     rec = json.loads(out[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert set(rec) <= {"metric", "value", "unit", "vs_baseline",
-                        "roofline_frac"}
+                        "roofline_frac", "roofline_frac_measured"}
     assert rec["value"] > 0
     if "roofline_frac" in rec:
         # on the CPU contract run the frac rounds to ~0 (v5e constants
