@@ -473,7 +473,7 @@ class AdaptiveWait:
     window — the fixed-window design pays the whole window even when the
     burst is already complete, which is where its bursty-trace p50 loss
     came from (round-4 measurement, docs/runs/bench_serve_chip_r4.jsonl;
-    TODO round-5 #6).
+    round-5 on-chip grid: docs/runs/bench_serve_chip_r5.jsonl).
 
     ``gap`` itself is MIMD-adapted: multiplicative increase while bursts
     actually coalesce (>= 2 requests folded, bridging intra-burst arrival
