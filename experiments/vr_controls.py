@@ -42,7 +42,10 @@ def main() -> int:
     ap.add_argument("--graph", default=None, help="graph dir (default <dir>/graph_1.0)")
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint dir (default <dir>/ogbn_mag_proxy_hgt)")
-    ap.add_argument("--max_eval_nodes", type=int, default=2048)
+    ap.add_argument("--max_eval_nodes", type=int, default=2048,
+                    help="0 = no subsampling: seed EVERY split node (the "
+                         "reference's full protocol; no periphery-only "
+                         "population)")
     ap.add_argument("--vr_num", type=int, default=8)
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--out", default="docs/runs/vr_controls_r5.json")
@@ -74,7 +77,7 @@ def main() -> int:
     )
     t0 = time.time()
     out = evaluate_ogbn(cfg, graph, ckpt, eval_mode="variance_reduce",
-                        max_eval_nodes=args.max_eval_nodes)
+                        max_eval_nodes=args.max_eval_nodes or None)
     out["wall_s"] = round(time.time() - t0, 1)
     out["max_eval_nodes"] = args.max_eval_nodes
     out["vr_num"] = args.vr_num
