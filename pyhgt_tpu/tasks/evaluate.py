@@ -58,19 +58,39 @@ def multi_sample_eval(
     rng: Optional[np.random.Generator] = None,
     max_nodes: Optional[int] = None,
     shuffle: bool = True,
+    seed_nodes: Optional[np.ndarray] = None,
+    return_arrays: bool = False,
+    n_prefetch: int = 0,
 ) -> dict:
     """Returns the stats documented in the module docstring.
 
     ``single_sample_acc`` (per-occurrence running average over all live
     rows) is kept for continuity with earlier run artifacts, but
     ``seq_acc`` is the comparable sequential baseline.
+
+    ``seed_nodes``: explicit seed list (overrides split/shuffle/
+    max_nodes) — the sharded full-protocol runner hands each subprocess
+    its slice of the split (the axon plugin leaks host memory per
+    device transfer, so unbounded single-process eval loops OOM — see
+    experiments/axon_leak_probe.py).
+    ``return_arrays``: additionally return the compact per-split-node
+    accumulators so disjoint-seed shards merge EXACTLY (scores sum,
+    seen masks OR, counters add).
+    ``n_prefetch > 0``: overlap host-side ``task.sample`` with the
+    device forward on a small thread pool (the serial loop spends
+    ~half its wall in sampling). Each (batch, resample) job draws from
+    its own ``rng.spawn()`` child, so results are deterministic given
+    ``rng`` but differ from the serial stream.
     """
     rng = rng or np.random.default_rng()
-    nodes = np.where(task.masks[split])[0]
-    if shuffle:
-        nodes = nodes[rng.permutation(len(nodes))]
-    if max_nodes is not None:
-        nodes = nodes[:max_nodes]
+    if seed_nodes is not None:
+        nodes = np.asarray(seed_nodes)
+    else:
+        nodes = np.where(task.masks[split])[0]
+        if shuffle:
+            nodes = nodes[rng.permutation(len(nodes))]
+        if max_nodes is not None:
+            nodes = nodes[:max_nodes]
 
     n_classes = task.n_classes
     # Compact per-split-node accumulators: every live row's id is a split
@@ -97,13 +117,45 @@ def multi_sample_eval(
     dup_hits = dup_total = 0
     seed_id_match = seed_id_total = 0
 
-    for s in range(0, len(nodes), batch_size):
-        papers = nodes[s : s + batch_size]
+    # ---- batch/resample iteration, optionally with sample prefetch ----
+    batches = [nodes[s : s + batch_size]
+               for s in range(0, len(nodes), batch_size)]
+    if n_prefetch > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [(bi, k) for bi in range(len(batches)) for k in range(K)]
+        job_rngs = rng.spawn(len(jobs))
+        pool = ThreadPoolExecutor(max_workers=n_prefetch)
+        futs = {}
+
+        def _submit(j):
+            bi, k = jobs[j]
+            futs[j] = pool.submit(
+                task.sample, batches[bi], job_rngs[j], split=split
+            )
+
+        for j in range(min(2 * n_prefetch, len(jobs))):
+            _submit(j)
+        next_to_submit = min(2 * n_prefetch, len(jobs))
+
+        def get_batch(bi, k):
+            nonlocal next_to_submit
+            j = bi * K + k
+            tb = futs.pop(j).result()
+            if next_to_submit < len(jobs):
+                _submit(next_to_submit)
+                next_to_submit += 1
+            return tb
+    else:
+        def get_batch(bi, k):
+            return task.sample(batches[bi], rng, split=split)
+
+    for bi, papers in enumerate(batches):
         n_seed = len(papers)
         seed_preds: dict = {}          # paper id -> [argmax per resample]
         base_live_ids = None
         for k in range(K):
-            tb = task.sample(papers, rng, split=split)
+            tb = get_batch(bi, k)
             logp = np.asarray(forward(params, *tb.batch_args))
             live = np.asarray(tb.label_mask)
             all_ids = np.asarray(tb.target_ids)
@@ -149,6 +201,8 @@ def multi_sample_eval(
                 vals, cnt = np.unique(preds, return_counts=True)
                 agree_sum += cnt.max() / len(preds)
                 agree_n += 1
+    if n_prefetch > 0:
+        pool.shutdown(wait=False)
 
     def _acc(scores, seen):
         idx = np.where(seen)[0]
@@ -170,7 +224,24 @@ def multi_sample_eval(
     seed_vr_acc, n_seed_eval = _acc(seed_scores, seed_seen)
     seed_seq_acc, _ = _acc(seed_seq_scores, seed_seq_seen)
 
+    out_arrays = {}
+    if return_arrays:
+        out_arrays = {
+            "vr_scores": run_scores, "vr_seen": run_seen,
+            "seq_scores": curve_scores[0], "seq_seen": curve_seen[0],
+            "seed_scores": seed_scores, "seed_seen": seed_seen,
+            "seed_seq_scores": seed_seq_scores,
+            "seed_seq_seen": seed_seq_seen,
+            "split_nodes": split_nodes, "occ_count": occ_count,
+            "counters": np.array([
+                single_hits, single_total, seed_hits, seed_total,
+                peri_hits, peri_total, agree_n, dup_hits, dup_total,
+                seed_id_match, seed_id_total,
+            ], np.int64),
+            "agree_sum": np.float64(agree_sum),
+        }
     return {
+        **out_arrays,
         "acc": acc,
         "n_eval": n_eval,
         "seq_acc": seq_acc,
